@@ -1,0 +1,238 @@
+"""Scene schema: struct-of-arrays pytrees for the whole renderer.
+
+TPU-native redesign of the reference's object graph (``Serial/world.h``,
+``Serial/object.h``): instead of a ``vector<Object*>`` of virtual-dispatch
+primitives, every primitive family lives in one dense array batch so
+intersection and shading are single fused XLA/Pallas ops over the wavefront.
+
+All dataclasses are JAX pytrees (flax.struct) — they flow through jit / grad /
+shard_map. Differentiable leaves: vertices, colors, material scalars, light
+params. Counts and flags are static.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax import Array
+
+# Epsilons, faithful to the reference.
+SMALLEST_DIST = 1e-4  # min-t cutoff; Serial/ray.h:10
+DET_EPSILON = 1e-7    # degenerate-triangle determinant cutoff; Serial/triangle.h:12
+RECURSION_DEPTH = 10  # Serial/world.h:11
+
+
+@struct.dataclass
+class Materials:
+    """Phong material parameter set, one entry per primitive.
+
+    Ref: ``Material`` fields, Serial/material.h:18-25. ``color`` is carried
+    per-primitive elsewhere (triangles use per-vertex colors — the
+    ``BarycentricMaterial`` texture mechanism, Serial/material.cpp:10-22).
+    """
+
+    ka: Array   # (N,) ambient coefficient
+    kd: Array   # (N,) diffuse coefficient
+    ks: Array   # (N,) specular coefficient
+    kr: Array   # (N,) reflection contribution
+    kt: Array   # (N,) refraction contribution
+    eta: Array  # (N,) index of refraction
+
+    @staticmethod
+    def default(n: int, dtype=jnp.float32) -> "Materials":
+        """Reference defaults: Serial/material.h:27-29 (ka .2, kd 1, ks .4)."""
+        f = lambda v: jnp.full((n,), v, dtype)
+        return Materials(ka=f(0.2), kd=f(1.0), ks=f(0.4), kr=f(0.0), kt=f(0.0), eta=f(128.0))
+
+    @staticmethod
+    def obj_default(n: int, dtype=jnp.float32) -> "Materials":
+        """Materials the OBJ loader assigns: Serial/lumina.cpp init_material_from_obj."""
+        f = lambda v: jnp.full((n,), v, dtype)
+        return Materials(ka=f(0.2), kd=f(0.9), ks=f(0.4), kr=f(0.4), kt=f(0.0), eta=f(3.0))
+
+
+@struct.dataclass
+class Lights:
+    """Point lights. Ref: Serial/pointlightsource.h:6-14 (single family)."""
+
+    position: Array   # (L, 3)
+    intensity: Array  # (L, 3) RGB intensity
+
+
+@struct.dataclass
+class Scene:
+    """Full scene as dense SoA arrays; every leaf is differentiable.
+
+    Families mirror the reference primitive set: triangles
+    (Serial/triangle.h), spheres (Serial/sphere.h), quads ("Plane",
+    Serial/plane.h), infinite cylinders (Serial/cylinder.h). A family may be
+    empty (shape (0, ...)); trace paths skip empty families statically.
+    """
+
+    # triangles
+    tri_vertices: Array       # (Nt, 3, 3) — rows = vertices A,B,C
+    tri_colors: Array         # (Nt, 3, 3) — per-vertex RGB (flat color ⇒ repeated)
+    tri_materials: Materials  # (Nt,)
+    # spheres
+    sph_center: Array         # (Ns, 3)
+    sph_radius: Array         # (Ns,)
+    sph_color: Array          # (Ns, 3)
+    sph_materials: Materials  # (Ns,)
+    # quads ("planes"); normal derived as cross(p3-p1, p2-p1) (Serial/plane.h:24)
+    pln_corners: Array        # (Np, 4, 3)
+    pln_color: Array          # (Np, 3)
+    pln_materials: Materials  # (Np,)
+    # infinite cylinders
+    cyl_center: Array         # (Nc, 3)
+    cyl_up: Array             # (Nc, 3)
+    cyl_radius: Array         # (Nc,)
+    cyl_color: Array          # (Nc, 3)
+    cyl_materials: Materials  # (Nc,)
+    # lighting
+    lights: Lights
+    ambient: Array            # (3,) — World::setAmbient
+    background: Array         # (3,) — World::setBackground
+
+    @property
+    def n_triangles(self) -> int:
+        return self.tri_vertices.shape[0]
+
+    @property
+    def n_spheres(self) -> int:
+        return self.sph_center.shape[0]
+
+    @property
+    def n_planes(self) -> int:
+        return self.pln_corners.shape[0]
+
+    @property
+    def n_cylinders(self) -> int:
+        return self.cyl_center.shape[0]
+
+    @property
+    def dtype(self):
+        return self.tri_vertices.dtype
+
+    def has_dielectrics(self) -> bool:
+        """Static-ish check used to pick the wavefront branching mode.
+
+        Calls back to concrete values; only valid outside jit traces.
+        """
+        mats = [self.tri_materials, self.sph_materials, self.pln_materials, self.cyl_materials]
+        for m in mats:
+            kr = np.asarray(m.kr)
+            kt = np.asarray(m.kt)
+            if kr.size and bool(np.any((kr > 0) & (kt > 0))):
+                return True
+        return False
+
+
+def _empty_family(dtype):
+    z3 = jnp.zeros((0, 3), dtype)
+    return z3
+
+
+class SceneBuilder:
+    """Imperative scene assembly, the analog of ``World::addObject``/``addLight``
+    (Serial/world.h:30-38) — collects primitives then freezes into the dense
+    SoA ``Scene`` pytree.
+    """
+
+    def __init__(self, dtype=jnp.float32):
+        self.dtype = dtype
+        self._tris: list[tuple[Any, Any, dict]] = []
+        self._sphs: list[tuple[Any, float, Any, dict]] = []
+        self._plns: list[tuple[Any, Any, dict]] = []
+        self._cyls: list[tuple[Any, Any, float, Any, dict]] = []
+        self._lights: list[tuple[Any, Any]] = []
+        self.ambient = (0.0, 0.0, 0.0)
+        self.background = (0.0, 0.0, 0.0)
+
+    # -- materials -------------------------------------------------------
+    @staticmethod
+    def material(ka=0.2, kd=1.0, ks=0.4, kr=0.0, kt=0.0, eta=128.0, n=128.0) -> dict:
+        """Build a material param dict (reference defaults, Serial/material.h:27-29).
+
+        ``n`` is accepted for API parity but the reference hard-codes the Phong
+        exponent to 128 in both shaders (Serial/world.cpp:134,
+        Parellel/structures.cu:330); the exponent used at render time comes
+        from ``RenderConfig.phong_exp``.
+        """
+        return dict(ka=ka, kd=kd, ks=ks, kr=kr, kt=kt, eta=eta)
+
+    def add_triangle(self, a, b, c, color=(0.8, 0.1, 0.0), vertex_colors=None, material=None):
+        m = material or self.material()
+        if vertex_colors is None:
+            vertex_colors = (color, color, color)
+        self._tris.append((np.array([a, b, c], np.float64), np.array(vertex_colors, np.float64), m))
+
+    def add_sphere(self, center, radius, color=(0.8, 0.1, 0.0), material=None):
+        self._sphs.append((np.array(center, np.float64), float(radius), np.array(color, np.float64), material or self.material()))
+
+    def add_plane(self, p1, p2, p3, p4, color=(0.5, 0.5, 0.5), material=None):
+        self._plns.append((np.array([p1, p2, p3, p4], np.float64), np.array(color, np.float64), material or self.material()))
+
+    def add_cylinder(self, center, up, radius, color=(0.8, 0.1, 0.0), material=None):
+        self._cyls.append((np.array(center, np.float64), np.array(up, np.float64), float(radius), np.array(color, np.float64), material or self.material()))
+
+    def add_light(self, position, intensity):
+        self._lights.append((np.array(position, np.float64), np.array(intensity, np.float64)))
+
+    # -- freeze ----------------------------------------------------------
+    def _mats(self, mats: list[dict]) -> Materials:
+        if not mats:
+            z = jnp.zeros((0,), self.dtype)
+            return Materials(ka=z, kd=z, ks=z, kr=z, kt=z, eta=z)
+        cols = {k: jnp.asarray([m[k] for m in mats], self.dtype) for k in ("ka", "kd", "ks", "kr", "kt", "eta")}
+        return Materials(**cols)
+
+    def build(self) -> Scene:
+        dt = self.dtype
+        tv = jnp.asarray(np.array([t[0] for t in self._tris]).reshape(-1, 3, 3), dt)
+        tc = jnp.asarray(np.array([t[1] for t in self._tris]).reshape(-1, 3, 3), dt)
+        sc = jnp.asarray(np.array([s[0] for s in self._sphs]).reshape(-1, 3), dt)
+        sr = jnp.asarray(np.array([s[1] for s in self._sphs]).reshape(-1), dt)
+        scol = jnp.asarray(np.array([s[2] for s in self._sphs]).reshape(-1, 3), dt)
+        pc = jnp.asarray(np.array([p[0] for p in self._plns]).reshape(-1, 4, 3), dt)
+        pcol = jnp.asarray(np.array([p[1] for p in self._plns]).reshape(-1, 3), dt)
+        cc = jnp.asarray(np.array([c[0] for c in self._cyls]).reshape(-1, 3), dt)
+        cu = jnp.asarray(np.array([c[1] for c in self._cyls]).reshape(-1, 3), dt)
+        cr = jnp.asarray(np.array([c[2] for c in self._cyls]).reshape(-1), dt)
+        ccol = jnp.asarray(np.array([c[3] for c in self._cyls]).reshape(-1, 3), dt)
+        lp = jnp.asarray(np.array([l[0] for l in self._lights]).reshape(-1, 3), dt)
+        li = jnp.asarray(np.array([l[1] for l in self._lights]).reshape(-1, 3), dt)
+        return Scene(
+            tri_vertices=tv, tri_colors=tc, tri_materials=self._mats([t[2] for t in self._tris]),
+            sph_center=sc, sph_radius=sr, sph_color=scol, sph_materials=self._mats([s[3] for s in self._sphs]),
+            pln_corners=pc, pln_color=pcol, pln_materials=self._mats([p[2] for p in self._plns]),
+            cyl_center=cc, cyl_up=cu, cyl_radius=cr, cyl_color=ccol, cyl_materials=self._mats([c[4] for c in self._cyls]),
+            lights=Lights(position=lp, intensity=li),
+            ambient=jnp.asarray(self.ambient, dt), background=jnp.asarray(self.background, dt),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render hyperparameters — the reference's compile-time macros
+    promoted to a config object (SURVEY §5: RECURSION_DEPTH, KR/KT/eta/KA,
+    SCALING_FACTOR, shading switches).
+    """
+
+    max_depth: int = RECURSION_DEPTH       # Serial/world.h:11
+    split_depth: int = 3                   # dielectric binary-tree levels before falling back to reflection-only
+    phong_exp: int = 128                   # hard-coded exponent, Serial/world.cpp:134
+    shadows: bool = True
+    shadow_blend: float = 1e-4             # finalColor*(1e-4)+shadowColor*(1-1e-4), Serial/world.cpp:63
+    legacy_diffuse: bool = True            # diffuse uses normalize(lightPosition) — Serial/world.cpp:133 quirk
+    smallest_dist: float = SMALLEST_DIST
+    det_epsilon: float = DET_EPSILON
+    ray_offset: float = 1e-4               # secondary-ray origin offset, Serial/world.cpp:97-103
+    shadow_origin_bias: float = 0.01       # shadow-ray origin lerp factor, Serial/world.cpp:44
+    beer_sigma: tuple = (0.27, 0.45, 0.55)  # exit-attenuation constants, Serial/world.cpp:85
+    # acceleration: "bruteforce" | "chunked" (Morton chunk-AABB sweep) | "pallas"
+    accel: str = "bruteforce"
+    chunk_size: int = 64                   # triangles per chunk for the sweep accel
+    ray_block: int = 8192                  # rays per lax.map block in XLA paths

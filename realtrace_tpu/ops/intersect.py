@@ -1,0 +1,351 @@
+"""Dense vectorized primitive intersections + closest-hit / any-hit queries.
+
+TPU-native redesign of the reference's per-object virtual ``intersect(Ray&)``
+family (Serial/{triangle,sphere,plane,cylinder}.cpp): each family is tested as
+one (rays x primitives) masked reduction on the VPU; the nearest hit is an
+argmin, not a mutable Ray.
+
+Gradient design: the discrete hit choice (argmin index) is stopped, then the
+hit attributes (t, barycentrics, normal, position, color) are *recomputed*
+differentiably from the selected primitive's parameters — gradients flow to
+vertices / centers / radii / colors while visibility stays fixed (SURVEY §7
+hard part (c)).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax import Array, lax
+
+from realtrace_tpu.core import vec
+from realtrace_tpu.core.types import RenderConfig, Scene
+
+BIG = 1e30  # "no hit" distance sentinel (FLT_MAX analog, Serial/ray.h:25)
+
+# family codes
+FAM_NONE, FAM_TRI, FAM_SPH, FAM_PLN, FAM_CYL = 0, 1, 2, 3, 4
+
+
+@struct.dataclass
+class Hit:
+    """Per-ray hit record (SoA). The wavefront analog of the reference Ray's
+    mutable hit state (Serial/ray.h:20-27)."""
+
+    valid: Array     # (R,) bool
+    t: Array         # (R,)
+    family: Array    # (R,) int32, FAM_*
+    index: Array     # (R,) int32 primitive index within family
+    position: Array  # (R, 3)
+    normal: Array    # (R, 3) geometric normal, unnormalized (as in reference)
+    color: Array     # (R, 3) surface base color at hit (barycentric-interpolated for tris)
+    ka: Array        # (R,)
+    kd: Array
+    ks: Array
+    kr: Array
+    kt: Array
+    eta: Array
+
+
+# ---------------------------------------------------------------------------
+# per-family dense tests — each returns candidate (t, aux) over (R, N)
+# ---------------------------------------------------------------------------
+
+def triangle_test(ro: Array, rd: Array, tv: Array, det_eps: float, t_min: float):
+    """Cramer/Möller–Trumbore triangle test.
+
+    Ref: Triangle::intersect, Serial/triangle.cpp:10-24 — determinant form
+    det(A-B, A-C, D) with accept ``beta>0 && gamma>0 && beta+gamma<1``.
+
+    Args:
+      ro, rd: (R, 3) ray origins/directions.
+      tv: (N, 3, 3) triangle vertices (A, B, C rows).
+    Returns:
+      t: (R, N) hit distance (BIG where invalid), beta, gamma: (R, N).
+    """
+    a, b, c = tv[:, 0], tv[:, 1], tv[:, 2]
+    e1 = a - b                                   # (N,3)
+    e2 = a - c
+    n = vec.cross(e1, e2)                        # (N,3) = geometric normal
+    # det(e1, e2, d) = d . (e1 x e2) = d . n  — a (R,3)x(3,N) contraction
+    det = rd @ n.T                               # (R,N)
+    s = a[None, :, :] - ro[:, None, :]           # (R,N,3) = A - O
+    # t_num = det(e1, e2, s) = s . n
+    t_num = vec.dot(s, n[None])                  # (R,N)
+    # beta_num = det(s, e2, d) = d . (s x e2)
+    beta_num = vec.dot(rd[:, None, :], jnp.cross(s, e2[None]))
+    # gamma_num = det(e1, s, d) = d . (e1 x s)
+    gamma_num = vec.dot(rd[:, None, :], jnp.cross(e1[None], s))
+    det_ok = jnp.abs(det) >= det_eps
+    safe = jnp.where(det_ok, det, 1.0)
+    inv = 1.0 / safe
+    beta = beta_num * inv
+    gamma = gamma_num * inv
+    t = t_num * inv
+    bary_ok = (beta > 0.0) & (gamma > 0.0) & (beta + gamma < 1.0)
+    ok = det_ok & bary_ok & (t > t_min)
+    return jnp.where(ok, t, BIG), beta, gamma
+
+
+def sphere_test(ro: Array, rd: Array, center: Array, radius: Array, t_min: float):
+    """Quadratic sphere test, both roots, nearest valid.
+
+    Ref: Sphere::intersect, Serial/sphere.cpp:5-39 (rd assumed normalized,
+    a=1).
+    """
+    cv = ro[:, None, :] - center[None]           # (R,N,3)
+    b = 2.0 * vec.dot(rd[:, None, :], cv)        # (R,N)
+    c = vec.dot(cv, cv) - (radius * radius)[None]
+    disc = b * b - 4.0 * c
+    ok = disc >= 0.0
+    sq = jnp.sqrt(jnp.where(ok, disc, 0.0))
+    t1 = (-b + sq) * 0.5
+    t2 = (-b - sq) * 0.5
+    t1 = jnp.where(ok & (t1 > t_min), t1, BIG)
+    t2 = jnp.where(ok & (t2 > t_min), t2, BIG)
+    return jnp.minimum(t1, t2)
+
+
+def quad_test(ro: Array, rd: Array, corners: Array, det_eps: float, t_min: float):
+    """Quad ("Plane") = two triangle tests (p1,p2,p3) then (p1,p3,p4).
+
+    Ref: Plane::intersect, Serial/plane.cpp:24-27 — note the reference
+    short-circuits the second triangle when the first one's barycentric test
+    passes; the regions are disjoint for a planar quad so taking the nearest
+    valid of both is equivalent.
+    """
+    p1, p2, p3, p4 = corners[:, 0], corners[:, 1], corners[:, 2], corners[:, 3]
+    t_a, _, _ = triangle_test(ro, rd, jnp.stack([p1, p2, p3], axis=1), det_eps, t_min)
+    t_b, _, _ = triangle_test(ro, rd, jnp.stack([p1, p3, p4], axis=1), det_eps, t_min)
+    return jnp.minimum(t_a, t_b)
+
+
+def cylinder_test(ro: Array, rd: Array, center: Array, up: Array, radius: Array, t_min: float):
+    """Infinite cylinder: quadratic in the plane ⊥ axis.
+
+    Ref: Cylinder::intersect, Serial/cylinder.cpp:14-32 — picks the smaller
+    root if positive, else the larger one.
+    """
+    d_par = vec.dot(rd[:, None, :], up[None])[..., None] * up[None]      # (R,N,3)
+    tmp1 = rd[:, None, :] - d_par
+    oc = ro[:, None, :] - center[None]
+    oc_par = vec.dot(oc, up[None])[..., None] * up[None]
+    tmp2 = oc - oc_par
+    a = vec.dot(tmp1, tmp1)
+    b = 2.0 * vec.dot(tmp1, tmp2)
+    c = vec.dot(tmp2, tmp2) - (radius * radius)[None]
+    disc = b * b - 4.0 * a * c
+    ok = (disc >= 0.0) & (jnp.abs(a) > 0.0)
+    a_safe = jnp.where(jnp.abs(a) > 0.0, a, 1.0)
+    sq = jnp.sqrt(jnp.where(ok, disc, 0.0))
+    r1 = (-b + sq) / (2.0 * a_safe)
+    r2 = (-b - sq) / (2.0 * a_safe)
+    lo = jnp.minimum(r1, r2)
+    hi = jnp.maximum(r1, r2)
+    t = jnp.where(lo > 0.0, lo, hi)
+    return jnp.where(ok & (t > t_min), t, BIG)
+
+
+# ---------------------------------------------------------------------------
+# closest hit
+# ---------------------------------------------------------------------------
+
+def _tri_closest(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig):
+    """Nearest triangle per ray: (t, idx) with BIG/-1 for miss.
+
+    Dispatches on cfg.accel; the accelerated path lives in ops.accel to keep
+    this module dependency-light.
+    """
+    if scene.n_triangles == 0:
+        r = ro.shape[0]
+        return jnp.full((r,), BIG, ro.dtype), jnp.full((r,), -1, jnp.int32)
+    if cfg.accel == "bruteforce":
+        t, _, _ = triangle_test(ro, rd, scene.tri_vertices, cfg.det_epsilon, cfg.smallest_dist)
+        idx = jnp.argmin(t, axis=1).astype(jnp.int32)
+        tbest = jnp.take_along_axis(t, idx[:, None], axis=1)[:, 0]
+        return tbest, jnp.where(tbest < BIG, idx, -1)
+    from realtrace_tpu.ops import accel
+    return accel.closest_triangle(scene, ro, rd, cfg)
+
+
+def _family_min(cands):
+    """Merge per-family (t, family_code, idx) candidates by nearest t."""
+    t, fam, idx = cands[0]
+    for t2, fam2, idx2 in cands[1:]:
+        closer = t2 < t
+        t = jnp.where(closer, t2, t)
+        fam = jnp.where(closer, fam2, fam)
+        idx = jnp.where(closer, idx2, idx)
+    return t, fam, idx
+
+
+def closest_hit(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig) -> Hit:
+    """Nearest hit over all primitive families, with differentiable attribute
+    recomputation. The wavefront analog of ``World::firstIntersection``
+    (Serial/world.cpp:5-17).
+    """
+    r = ro.shape[0]
+    dt = ro.dtype
+    i32 = jnp.int32
+
+    cands = []
+    t_tri, idx_tri = _tri_closest(scene, lax.stop_gradient(ro), lax.stop_gradient(rd), cfg)
+    cands.append((t_tri, jnp.where(idx_tri >= 0, FAM_TRI, FAM_NONE), idx_tri))
+
+    sro, srd = lax.stop_gradient(ro), lax.stop_gradient(rd)
+    if scene.n_spheres:
+        t = sphere_test(sro, srd, lax.stop_gradient(scene.sph_center),
+                        lax.stop_gradient(scene.sph_radius), cfg.smallest_dist)
+        i = jnp.argmin(t, axis=1).astype(i32)
+        tb = jnp.take_along_axis(t, i[:, None], 1)[:, 0]
+        cands.append((tb, jnp.where(tb < BIG, FAM_SPH, FAM_NONE), i))
+    if scene.n_planes:
+        t = quad_test(sro, srd, lax.stop_gradient(scene.pln_corners), cfg.det_epsilon, cfg.smallest_dist)
+        i = jnp.argmin(t, axis=1).astype(i32)
+        tb = jnp.take_along_axis(t, i[:, None], 1)[:, 0]
+        cands.append((tb, jnp.where(tb < BIG, FAM_PLN, FAM_NONE), i))
+    if scene.n_cylinders:
+        t = cylinder_test(sro, srd, lax.stop_gradient(scene.cyl_center),
+                          lax.stop_gradient(scene.cyl_up), lax.stop_gradient(scene.cyl_radius),
+                          cfg.smallest_dist)
+        i = jnp.argmin(t, axis=1).astype(i32)
+        tb = jnp.take_along_axis(t, i[:, None], 1)[:, 0]
+        cands.append((tb, jnp.where(tb < BIG, FAM_CYL, FAM_NONE), i))
+
+    t_fwd, fam, idx = _family_min(cands)
+    valid = fam != FAM_NONE
+    idx = jnp.where(valid, idx, 0)  # safe gather index
+
+    # ---- differentiable recomputation per family ------------------------
+    zero3 = jnp.zeros((r, 3), dt)
+    zero = jnp.zeros((r,), dt)
+    t_d, normal, color = jnp.full((r,), BIG, dt), zero3, zero3
+    mats = {k: zero for k in ("ka", "kd", "ks", "kr", "kt", "eta")}
+
+    def sel(mask, new, old):
+        if new.ndim == old.ndim + 1 or (new.ndim == 2 and old.ndim == 2):
+            return jnp.where(mask[:, None], new, old)
+        return jnp.where(mask, new, old)
+
+    if scene.n_triangles:
+        m = valid & (fam == FAM_TRI)
+        tv = scene.tri_vertices[idx]                       # (R,3,3)
+        tc = scene.tri_colors[idx]                         # (R,3,3)
+        a, b, c = tv[:, 0], tv[:, 1], tv[:, 2]
+        e1, e2 = a - b, a - c
+        nrm = vec.cross(e1, e2)
+        det = vec.dot(rd, nrm)
+        det_safe = jnp.where(jnp.abs(det) > 0, det, 1.0)
+        s = a - ro
+        tt = vec.dot(s, nrm) / det_safe
+        beta = vec.dot(rd, jnp.cross(s, e2)) / det_safe
+        gamma = vec.dot(rd, jnp.cross(e1, s)) / det_safe
+        alpha = 1.0 - beta - gamma
+        col = alpha[:, None] * tc[:, 0] + beta[:, None] * tc[:, 1] + gamma[:, None] * tc[:, 2]
+        t_d = sel(m, tt, t_d)
+        normal = sel(m, nrm, normal)
+        color = sel(m, col, color)
+        tm = scene.tri_materials
+        for k in mats:
+            mats[k] = sel(m, getattr(tm, k)[idx], mats[k])
+
+    if scene.n_spheres:
+        m = valid & (fam == FAM_SPH)
+        ctr = scene.sph_center[idx]
+        rad = scene.sph_radius[idx]
+        cv = ro - ctr
+        b2 = 2.0 * vec.dot(rd, cv)
+        c2 = vec.dot(cv, cv) - rad * rad
+        disc = jnp.maximum(b2 * b2 - 4.0 * c2, 0.0)
+        sq = jnp.sqrt(disc)
+        r1, r2 = (-b2 + sq) * 0.5, (-b2 - sq) * 0.5
+        # pick the root matching the (stopped) forward decision
+        tt = jnp.where(jnp.abs(lax.stop_gradient(r1) - t_fwd)
+                       < jnp.abs(lax.stop_gradient(r2) - t_fwd), r1, r2)
+        pos = ro + tt[:, None] * rd
+        t_d = sel(m, tt, t_d)
+        normal = sel(m, pos - ctr, normal)   # Sphere::getNormalAtPosition
+        color = sel(m, scene.sph_color[idx], color)
+        for k in mats:
+            mats[k] = sel(m, getattr(scene.sph_materials, k)[idx], mats[k])
+
+    if scene.n_planes:
+        m = valid & (fam == FAM_PLN)
+        cr = scene.pln_corners[idx]
+        p1, p2, p3 = cr[:, 0], cr[:, 1], cr[:, 2]
+        nrm = vec.cross(p3 - p1, p2 - p1)    # Plane ctor normal, Serial/plane.h:24
+        det = vec.dot(rd, nrm)
+        det_safe = jnp.where(jnp.abs(det) > 0, det, 1.0)
+        tt = vec.dot(p1 - ro, nrm) / det_safe
+        t_d = sel(m, tt, t_d)
+        normal = sel(m, nrm, normal)
+        color = sel(m, scene.pln_color[idx], color)
+        for k in mats:
+            mats[k] = sel(m, getattr(scene.pln_materials, k)[idx], mats[k])
+
+    if scene.n_cylinders:
+        m = valid & (fam == FAM_CYL)
+        ctr, up, rad = scene.cyl_center[idx], scene.cyl_up[idx], scene.cyl_radius[idx]
+        d_par = vec.dot(rd, up)[:, None] * up
+        tmp1 = rd - d_par
+        oc = ro - ctr
+        tmp2 = oc - vec.dot(oc, up)[:, None] * up
+        a2 = vec.dot(tmp1, tmp1)
+        b2 = 2.0 * vec.dot(tmp1, tmp2)
+        c2 = vec.dot(tmp2, tmp2) - rad * rad
+        disc = jnp.maximum(b2 * b2 - 4.0 * a2 * c2, 0.0)
+        a_safe = jnp.where(jnp.abs(a2) > 0, a2, 1.0)
+        sq = jnp.sqrt(disc)
+        r1, r2 = (-b2 + sq) / (2 * a_safe), (-b2 - sq) / (2 * a_safe)
+        tt = jnp.where(jnp.abs(lax.stop_gradient(r1) - t_fwd)
+                       < jnp.abs(lax.stop_gradient(r2) - t_fwd), r1, r2)
+        pos = ro + tt[:, None] * rd
+        # Cylinder::getNormalAtPosition: p - c - ((p-c).u/(u.u)) u
+        pc = pos - ctr
+        proj = vec.dot(pc, up) / jnp.maximum(vec.dot(up, up), 1e-30)
+        t_d = sel(m, tt, t_d)
+        normal = sel(m, pc - proj[:, None] * up, normal)
+        color = sel(m, scene.cyl_color[idx], color)
+        for k in mats:
+            mats[k] = sel(m, getattr(scene.cyl_materials, k)[idx], mats[k])
+
+    t_final = jnp.where(valid, t_d, BIG)
+    position = ro + t_final[:, None] * rd
+    return Hit(valid=valid, t=t_final, family=fam, index=jnp.where(valid, idx, -1),
+               position=jnp.where(valid[:, None], position, 0.0),
+               normal=normal, color=color, **mats)
+
+
+def any_hit(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig) -> Array:
+    """Occlusion query for shadow rays: does *anything* intersect with
+    t > SMALLEST_DIST?  Ref semantics: the serial shadow test runs a full
+    firstIntersection and checks didHit() (Serial/world.cpp:44-47) — no
+    max-distance cutoff at the light, which we reproduce.
+    """
+    ro = lax.stop_gradient(ro)
+    rd = lax.stop_gradient(rd)
+    r = ro.shape[0]
+    occ = jnp.zeros((r,), bool)
+    if scene.n_triangles:
+        if cfg.accel == "bruteforce":
+            t, _, _ = triangle_test(ro, rd, lax.stop_gradient(scene.tri_vertices),
+                                    cfg.det_epsilon, cfg.smallest_dist)
+            occ |= jnp.any(t < BIG, axis=1)
+        else:
+            from realtrace_tpu.ops import accel
+            occ |= accel.any_triangle(scene, ro, rd, cfg)
+    if scene.n_spheres:
+        t = sphere_test(ro, rd, lax.stop_gradient(scene.sph_center),
+                        lax.stop_gradient(scene.sph_radius), cfg.smallest_dist)
+        occ |= jnp.any(t < BIG, axis=1)
+    if scene.n_planes:
+        t = quad_test(ro, rd, lax.stop_gradient(scene.pln_corners), cfg.det_epsilon, cfg.smallest_dist)
+        occ |= jnp.any(t < BIG, axis=1)
+    if scene.n_cylinders:
+        t = cylinder_test(ro, rd, lax.stop_gradient(scene.cyl_center),
+                          lax.stop_gradient(scene.cyl_up), lax.stop_gradient(scene.cyl_radius),
+                          cfg.smallest_dist)
+        occ |= jnp.any(t < BIG, axis=1)
+    return occ

@@ -1,0 +1,210 @@
+"""Wavefront Whitted shading: the reference's recursive ``World::shade_ray``
+(Serial/world.cpp:32-111) flattened into dense per-level wavefront steps.
+
+Recursion → iteration: each bounce level processes ALL pixel rays as one dense
+batch (``lax.scan`` when the ray count per level is constant — the no-dielectric
+case — or an unrolled doubling tree for dielectric scenes, generalizing the
+CUDA reference's static depth-2 / 7-buffer wavefront scheduler,
+Parellel/kernel.cu:564-604). Dead rays are masked, never compacted — TPU lanes
+prefer dense masked work over stream compaction (SURVEY §7 hard part (b)).
+
+All steps are differentiable; discrete decisions (hit selection, shadowing,
+material branch) are held fixed via stop_gradient inside closest_hit/any_hit.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import Array, lax
+
+from realtrace_tpu.core import vec
+from realtrace_tpu.core.types import RenderConfig, Scene
+from realtrace_tpu.ops.intersect import Hit, any_hit, closest_hit
+
+
+def phong_pow(d: Array, e: int) -> Array:
+    """max(pow(d, e), 0) with C ``pow`` semantics for negative bases:
+    even exponent → |d|^e (always ≥ 0), odd → clamped at 0.
+    Ref: Serial/world.cpp:134 uses pow(·,128) (even) inside a max().
+    """
+    if e % 2 == 0:
+        return jnp.abs(d) ** e
+    return jnp.maximum(d, 0.0) ** e
+
+
+def light_shade(position: Array, normal: Array, view: Array, color: Array,
+                kd: Array, ks: Array, scene: Scene, cfg: RenderConfig) -> Array:
+    """Sum of Phong diffuse+specular over all lights.
+
+    Ref: World::get_light_shade, Serial/world.cpp:126-137. ``legacy_diffuse``
+    reproduces the reference quirk of lighting by ``normalize(lightPosition)``
+    (origin-relative) instead of the surface→light direction.
+    """
+    n = vec.normalize(normal)                              # (R,3)
+    lp = scene.lights.position                             # (L,3)
+    li = scene.lights.intensity                            # (L,3)
+    to_light = lp[None, :, :] - position[:, None, :]       # (R,L,3)
+    l_dir = vec.normalize(to_light)
+    refl = vec.normalize(vec.reflect(-l_dir, n[:, None, :]))
+    if cfg.legacy_diffuse:
+        diff_dir = vec.normalize(lp)[None, :, :]           # normalize(lightPosition)
+    else:
+        diff_dir = l_dir
+    diffuse = jnp.maximum(vec.dot(n[:, None, :], diff_dir), 0.0)      # (R,L)
+    spec = phong_pow(vec.dot(vec.normalize(view)[:, None, :], refl), cfg.phong_exp)
+    out = (kd[:, None, None] * diffuse[..., None] * li[None] * color[:, None, :]
+           + ks[:, None, None] * spec[..., None] * li[None])
+    return jnp.sum(out, axis=1)                            # (R,3)
+
+
+def shadow_mask(scene: Scene, hit_pos: Array, cfg: RenderConfig) -> Array:
+    """True where ANY light's shadow ray is occluded.
+
+    Ref: Serial/world.cpp:42-51 — shadow ray origin is offset by
+    ``0.01*(lightPos-pos)`` along the *unnormalized* to-light vector; any hit
+    (even beyond the light) counts as shadow, which we reproduce.
+    """
+    occ = jnp.zeros((hit_pos.shape[0],), bool)
+    lp = scene.lights.position
+    for l in range(lp.shape[0]):
+        to_light = lp[l][None, :] - hit_pos
+        origin = hit_pos + cfg.shadow_origin_bias * to_light
+        direction = vec.normalize(to_light)
+        occ |= any_hit(scene, origin, direction, cfg)
+    return occ
+
+
+def local_color(scene: Scene, hit: Hit, rd: Array, cfg: RenderConfig) -> Array:
+    """Direct (local) shade at a hit: Phong + ambient, with the reference's
+    shadow blend ``final*1e-4 + shadowColor*(1-1e-4)``.
+
+    Ref: Serial/world.cpp:40-63.
+    """
+    lc = light_shade(hit.position, hit.normal, rd, hit.color, hit.kd, hit.ks, scene, cfg)
+    amb = scene.ambient[None, :] * hit.color * hit.ka[:, None]
+    lc = lc + amb
+    if cfg.shadows and scene.lights.position.shape[0]:
+        sh = shadow_mask(scene, lax.stop_gradient(hit.position), cfg)
+        b = cfg.shadow_blend
+        lc = jnp.where(sh[:, None], lc * b + amb * (1.0 - b), lc)
+    return lc
+
+
+def _children(scene: Scene, hit: Hit, ro: Array, rd: Array, coeff: Array, cfg: RenderConfig):
+    """One wavefront step: local contribution + (reflect, refract) children.
+
+    Returns (contrib, (ro_r, rd_r, coeff_r), (ro_t, rd_t, coeff_t)).
+    Mirrors the three branches of Serial/world.cpp:77-109:
+      * dielectric (kr>0 && kt>0): Fresnel–Schlick split, Beer attenuation on
+        exit, no local contribution;
+      * reflective (kr>0): local + kr * child;
+      * plain: local only.
+    """
+    dt = ro.dtype
+    active = jnp.any(coeff > 0.0, axis=-1)
+    valid = hit.valid & active
+
+    i = vec.normalize(rd)
+    n = vec.normalize(hit.normal)
+    is_diel = valid & (hit.kr > 0.0) & (hit.kt > 0.0)
+    is_refl = valid & (hit.kr > 0.0) & ~is_diel
+
+    lc = local_color(scene, hit, rd, cfg)
+    # miss → background; dielectric → no local term (Serial/world.cpp:100 returns children only)
+    contrib = jnp.where(valid[:, None] & ~is_diel[:, None], coeff * lc, 0.0)
+    contrib = contrib + jnp.where((active & ~hit.valid)[:, None], coeff * scene.background[None], 0.0)
+
+    # ---- reflection child (shared by dielectric + reflective paths) ------
+    r_dir = vec.reflect(i, n)
+    ro_r = hit.position + cfg.ray_offset * r_dir
+    rd_r = vec.normalize(r_dir)
+
+    # ---- dielectric physics (Serial/world.cpp:77-100) --------------------
+    eta = hit.eta
+    ndi = vec.dot(rd, n)           # sign test uses the (already normalized) direction
+    entering = ndi < 0.0
+    t_in, ok_in = vec.refract(i, n, eta)
+    c_in = -vec.dot(i, n)
+    t_out, ok_out = vec.refract(i, -n, 1.0 / jnp.where(eta != 0, eta, 1.0))
+    c_out = vec.dot(t_out, n)
+    # Beer-style exit attenuation, k = e^{-sigma * t} (Serial/world.cpp:85)
+    sig = jnp.asarray(cfg.beer_sigma, dt)
+    k_exit = jnp.exp(-sig[None, :] * hit.t[:, None])
+    k = jnp.where(entering[:, None], 1.0, k_exit)
+    tir_exit = ~entering & ~ok_out          # exit-side total internal reflection
+    c = jnp.where(entering, c_in, c_out)
+    r0 = ((eta - 1.0) ** 2) / jnp.maximum((eta + 1.0) ** 2, 1e-30)
+    fres = r0 + (1.0 - r0) * (1.0 - c) ** 5
+    t_dir = jnp.where(entering[:, None], t_in, t_out)
+    t_ok = jnp.where(entering, ok_in, ok_out)
+    # reference would emit a zero-direction (NaN-normalized) ray on
+    # entering-TIR; we kill that child instead (documented divergence).
+    ro_t = hit.position + cfg.ray_offset * t_dir
+    rd_t = vec.normalize(t_dir)
+
+    w_reflect = jnp.where(is_diel, jnp.where(tir_exit, 1.0, fres),
+                          jnp.where(is_refl, hit.kr, 0.0))
+    coeff_r = coeff * w_reflect[:, None] * jnp.where(is_diel[:, None], k, 1.0)
+    coeff_t = coeff * jnp.where((is_diel & t_ok & ~tir_exit)[:, None],
+                                k * (1.0 - fres[:, None]), 0.0)
+    return contrib, (ro_r, rd_r, coeff_r), (ro_t, rd_t, coeff_t)
+
+
+def trace_wavefront(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
+                    branching: bool | None = None, coeff: Array | None = None,
+                    with_stats: bool = False):
+    """Trace a wavefront of rays to completion; returns accumulated color
+    (R,3) and, optionally, the traced-ray count (for Mrays/s accounting).
+
+    ``branching=None`` auto-selects: dielectric scenes get a binary ray tree
+    unrolled for ``cfg.split_depth`` levels then reflection-only continuation;
+    otherwise a constant-lane ``lax.scan`` over ``cfg.max_depth+1`` levels.
+    """
+    if branching is None:
+        branching = scene.has_dielectrics()
+    nl = scene.lights.position.shape[0] if (cfg.shadows and scene.lights.position.shape[0]) else 0
+    if coeff is None:
+        coeff = jnp.ones_like(ro)
+
+    def count_rays(coeff_arr):
+        active = jnp.any(coeff_arr > 0.0, axis=-1)
+        return jnp.sum(active.astype(jnp.float32)) * (1.0 + nl)
+
+    if not branching:
+        def step(carry, _):
+            ro, rd, coeff, accum, nrays = carry
+            nrays = nrays + count_rays(coeff)
+            hit = closest_hit(scene, ro, rd, cfg)
+            contrib, (ro_r, rd_r, coeff_r), _ = _children(scene, hit, ro, rd, coeff, cfg)
+            return (ro_r, rd_r, coeff_r, accum + contrib, nrays), None
+
+        init = (ro, rd, coeff, jnp.zeros_like(ro), jnp.zeros((), jnp.float32))
+        (ro_f, rd_f, coeff_f, accum, nrays), _ = lax.scan(step, init, None, length=cfg.max_depth + 1)
+        accum = accum + coeff_f * scene.background[None]   # depth-exceeded → background
+        return (accum, nrays) if with_stats else accum
+
+    # ---- branching (dielectric) mode: unrolled doubling tree -------------
+    rays = [(ro, rd, coeff)]
+    accum = jnp.zeros_like(ro)
+    nrays = jnp.zeros((), jnp.float32)
+    for level in range(cfg.max_depth + 1):
+        new_rays = []
+        for (o, d, cf) in rays:
+            nrays = nrays + count_rays(cf)
+            hit = closest_hit(scene, o, d, cfg)
+            contrib, child_r, child_t = _children(scene, hit, o, d, cf, cfg)
+            accum = accum + contrib
+            new_rays.append(child_r)
+            if level < cfg.split_depth:
+                new_rays.append(child_t)
+            else:
+                # beyond split_depth: fold refraction energy into nothing
+                # (reflection-only continuation); energy conservation checked
+                # in tests for split_depth >= scene needs.
+                pass
+        rays = new_rays
+        if level == cfg.max_depth:
+            for (o, d, cf) in rays:
+                accum = accum + cf * scene.background[None]
+            rays = []
+    return (accum, nrays) if with_stats else accum

@@ -1,0 +1,86 @@
+"""Golden-image tests: the TPU wavefront renderer vs the NumPy transliteration
+of the serial recursive shader (SURVEY §4: cross-implementation check — the
+same role Serial plays for the CUDA stack in the reference).
+
+Run in float64 on CPU so the only differences are reduction order and decision
+boundaries; a tiny fraction of boundary pixels may legitimately disagree.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from oracle.cpu_reference import OracleRenderer
+from realtrace_tpu.apps import scenes
+from realtrace_tpu.core.types import RenderConfig, SceneBuilder
+from realtrace_tpu.render.pipeline import render_image
+
+DT = jnp.float64
+
+
+def assert_images_match(got, want, tol=1e-6, max_bad_frac=0.002):
+    got = np.asarray(got, np.float64)
+    err = np.abs(got - want).max(axis=-1)
+    bad = err > tol
+    frac = bad.mean()
+    assert frac <= max_bad_frac, (
+        f"{bad.sum()} / {bad.size} pixels differ by >{tol} "
+        f"(max err {err.max():.3e}, frac {frac:.4f})")
+
+
+def run_case(scene, cam_dict, cfg, w, h):
+    cam = scenes.make_camera(cam_dict, w, h, dtype=DT)
+    img = render_image(scene, cam, cfg)
+    want = OracleRenderer(scene, cfg).render(cam)
+    assert_images_match(img, want)
+
+
+def test_sphere_plane_depth1():
+    """BASELINE config 1: sphere + plane + point light, depth-1 Whitted."""
+    scene, cam = scenes.sphere_plane_scene(dtype=DT)
+    run_case(scene, cam, RenderConfig(max_depth=1), 64, 48)
+
+
+def test_sphere_plane_depth3_reflections():
+    scene, cam = scenes.sphere_plane_scene(dtype=DT)
+    run_case(scene, cam, RenderConfig(max_depth=3), 48, 48)
+
+
+def test_full_primitives_with_dielectric():
+    """All four families incl. a dielectric cylinder → branching wavefront."""
+    scene, cam = scenes.full_primitive_scene(dtype=DT)
+    assert scene.has_dielectrics()
+    run_case(scene, cam, RenderConfig(max_depth=3, split_depth=3), 48, 32)
+
+
+def test_no_shadow_mode():
+    scene, cam = scenes.sphere_plane_scene(dtype=DT)
+    run_case(scene, cam, RenderConfig(max_depth=2, shadows=False), 32, 32)
+
+
+def test_fixed_diffuse_mode():
+    """Non-legacy diffuse (surface→light direction) must also match."""
+    scene, cam = scenes.sphere_plane_scene(dtype=DT)
+    run_case(scene, cam, RenderConfig(max_depth=1, legacy_diffuse=False), 32, 32)
+
+
+def test_tetrahedron_obj(reference_assets):
+    """BASELINE config 2: tetrahedron.obj mesh, shadow rays (small res)."""
+    scene, cam = scenes.serial_obj_scene(reference_assets / "tetrahedron.obj", dtype=DT)
+    assert scene.n_triangles == 14
+    run_case(scene, cam, RenderConfig(max_depth=3), 48, 48)
+
+
+def test_deep_recursion_background_termination():
+    """Mirror-box: rays that never die must pick up background at depth cap."""
+    b = SceneBuilder(dtype=DT)
+    b.background = (0.1, 0.3, 0.6)
+    b.ambient = (1.0, 1.0, 1.0)
+    mirror = b.material(ka=0.1, kd=0.1, ks=0.1, kr=0.9)
+    b.add_plane((20, -2, 20), (-20, -2, 20), (-20, -2, -20), (20, -2, -20),
+                color=(0.9, 0.9, 0.9), material=mirror)
+    b.add_plane((20, 8, 20), (20, 8, -20), (-20, 8, -20), (-20, 8, 20),
+                color=(0.9, 0.9, 0.9), material=mirror)
+    b.add_light((0, 3, 0), (1, 1, 1))
+    scene = b.build()
+    cam = dict(position=(0, 3, 18), target=(0, 2, 0), up=(0, 1, 0), fovy=45)
+    run_case(scene, cam, RenderConfig(max_depth=10), 24, 24)
