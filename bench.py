@@ -1,0 +1,67 @@
+"""Benchmark: forward Mrays/s per chip at 1080p on bob_tri.obj.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} — the
+replacement for the reference's FPS title-bar counter
+(Parellel/main.cu:79-85). Baseline target: 50 Mrays/s/chip (BASELINE.json
+north star). Rays counted = every traced ray: primary + shadow + secondary
+wavefront rays, as accumulated by the wavefront scan itself.
+
+Env knobs: RT_BENCH_WIDTH/HEIGHT/DEPTH/REPEATS, RT_BENCH_ACCEL
+(chunked|bruteforce|pallas), RT_BENCH_SMOKE=1 for a tiny CPU smoke run.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main() -> None:
+    smoke = os.environ.get("RT_BENCH_SMOKE") == "1"
+    if smoke:
+        jax.config.update("jax_platforms", "cpu")
+    width = int(os.environ.get("RT_BENCH_WIDTH", 64 if smoke else 1920))
+    height = int(os.environ.get("RT_BENCH_HEIGHT", 48 if smoke else 1080))
+    depth = int(os.environ.get("RT_BENCH_DEPTH", 3))
+    repeats = int(os.environ.get("RT_BENCH_REPEATS", 1 if smoke else 5))
+    accel_mode = os.environ.get("RT_BENCH_ACCEL", "chunked")
+
+    from realtrace_tpu.apps import scenes
+    from realtrace_tpu.core.types import RenderConfig
+    from realtrace_tpu.ops import accel
+    from realtrace_tpu.render.pipeline import render_with_stats
+
+    cfg = RenderConfig(max_depth=depth, accel=accel_mode, chunk_size=64,
+                       shortlist=48, ray_block=int(os.environ.get("RT_BENCH_BLOCK", 8192)))
+    scene, cam = scenes.serial_obj_scene(
+        texture_path="/root/reference/Serial/bob_diffuse.png", dtype=jnp.float32)
+    if accel_mode != "bruteforce":
+        scene = accel.with_chunks(scene, cfg)
+    camera = scenes.make_camera(cam, width, height, dtype=jnp.float32)
+
+    @jax.jit
+    def frame(scene, camera):
+        return render_with_stats(scene, camera, cfg, branching=False)
+
+    img, nrays = frame(scene, camera)       # compile + warm-up
+    jax.block_until_ready(img)
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        img, nrays = frame(scene, camera)
+    jax.block_until_ready(img)
+    dt = (time.perf_counter() - t0) / repeats
+    mrays = float(nrays) / dt / 1e6
+
+    print(json.dumps({
+        "metric": f"forward Mrays/s/chip {width}x{height} bob_tri.obj depth-{depth} ({accel_mode})",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / 50.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

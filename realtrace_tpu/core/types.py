@@ -95,6 +95,9 @@ class Scene:
     lights: Lights
     ambient: Array            # (3,) — World::setAmbient
     background: Array         # (3,) — World::setBackground
+    # acceleration: Morton chunk permutation (topology-only, built by
+    # ops.accel.with_chunks — the uniform-grid-build analog, SURVEY §7 step 4)
+    tri_chunk_perm: Array | None = None
 
     @property
     def n_triangles(self) -> int:
@@ -235,4 +238,5 @@ class RenderConfig:
     # acceleration: "bruteforce" | "chunked" (Morton chunk-AABB sweep) | "pallas"
     accel: str = "bruteforce"
     chunk_size: int = 64                   # triangles per chunk for the sweep accel
-    ray_block: int = 8192                  # rays per lax.map block in XLA paths
+    shortlist: int = 48                    # chunks tested per ray block (XLA chunked path)
+    ray_block: int = 2048                  # rays per lax.map block in XLA paths

@@ -54,8 +54,11 @@ def refract(i: Array, n: Array, eta: Array) -> tuple[Array, Array]:
     ndi = dot(n, i)
     k = 1.0 - eta * eta * (1.0 - ndi * ndi)
     ok = k >= 0.0
-    ksafe = jnp.where(ok, k, 0.0)
-    t = eta[..., None] * i - (eta * ndi + jnp.sqrt(ksafe))[..., None] * n
+    # double-where with STRICT k>0: sqrt(0) forward is fine but its backward
+    # is infinite, and k==0 occurs on dead wavefront lanes (zero normals)
+    pos = k > 0.0
+    sq = jnp.where(pos, jnp.sqrt(jnp.where(pos, k, 1.0)), 0.0)
+    t = eta[..., None] * i - (eta * ndi + sq)[..., None] * n
     return jnp.where(ok[..., None], t, 0.0), ok
 
 

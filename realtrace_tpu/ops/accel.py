@@ -1,0 +1,160 @@
+"""Acceleration structure: Morton-sorted chunk-AABB sweep.
+
+TPU-native replacement for the reference's uniform voxel grid
+(Serial/uniform-grid.cpp:54-256, CSR variant Parellel/structures.cu:138-320).
+A per-ray 3-D DDA walk is lane-divergent and gather-heavy — hostile to the
+8x128 VPU. Instead (the "stackless sorted-AABB sweep" of the north star):
+
+  build:  sort triangles by Morton code of their centroid → contiguous chunks
+          of ``chunk_size`` spatially-local triangles → one AABB per chunk.
+  query:  slab-test rays against ALL chunk AABBs (dense, vectorized, cheap),
+          then intersect only the triangles of the most-voted chunks for a
+          coherent ray block (dense Möller–Trumbore over a gathered shortlist).
+
+The build is the analog of the CUDA counting-sort CSR build
+(Parellel/kernel.cu:457-522) — sort + segmented reduce instead of atomics.
+The Pallas kernel (ops/pallas) runs the same chunk sweep with real per-chunk
+skipping; this XLA version uses a static per-block shortlist.
+
+The chunk permutation is topology-only (static int32); triangle *positions*
+remain differentiable because hit attributes are recomputed from the original
+arrays in ``closest_hit``.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import Array, lax
+
+from realtrace_tpu.core.types import RenderConfig, Scene
+from realtrace_tpu.ops.intersect import BIG, triangle_test
+
+
+# ---------------------------------------------------------------------------
+# build
+# ---------------------------------------------------------------------------
+
+def _morton3(x: np.ndarray, y: np.ndarray, z: np.ndarray) -> np.ndarray:
+    """Interleave 10-bit coords into 30-bit Morton codes (uint64)."""
+    def spread(v):
+        v = v.astype(np.uint64)
+        v = (v | (v << 32)) & np.uint64(0x1F00000000FFFF)
+        v = (v | (v << 16)) & np.uint64(0x1F0000FF0000FF)
+        v = (v | (v << 8)) & np.uint64(0x100F00F00F00F00F)
+        v = (v | (v << 4)) & np.uint64(0x10C30C30C30C30C3)
+        v = (v | (v << 2)) & np.uint64(0x1249249249249249)
+        return v
+    return spread(x) | (spread(y) << np.uint64(1)) | (spread(z) << np.uint64(2))
+
+
+def build_chunk_perm(tri_vertices, chunk_size: int) -> np.ndarray:
+    """Morton-sort triangle indices and pad to a chunk multiple.
+
+    Host-side, topology-only (concrete values). Padding repeats the last
+    triangle — duplicates produce identical nearest hits, so results are
+    unchanged.
+    Returns int32 (n_chunks * chunk_size,) permutation into the original
+    triangle arrays.
+    """
+    tv = np.asarray(tri_vertices, np.float64)
+    n = tv.shape[0]
+    if n == 0:
+        return np.zeros((0,), np.int32)
+    cent = tv.mean(axis=1)                                 # (N,3)
+    lo, hi = cent.min(0), cent.max(0)
+    ext = np.where(hi - lo > 0, hi - lo, 1.0)
+    q = np.clip(((cent - lo) / ext * 1023.0), 0, 1023).astype(np.uint32)
+    order = np.argsort(_morton3(q[:, 0], q[:, 1], q[:, 2]), kind="stable")
+    pad = (-n) % chunk_size
+    if pad:
+        order = np.concatenate([order, np.repeat(order[-1], pad)])
+    return order.astype(np.int32)
+
+
+def with_chunks(scene: Scene, cfg: RenderConfig) -> Scene:
+    """Attach the chunk permutation to the scene (stored as an int32 leaf)."""
+    perm = build_chunk_perm(scene.tri_vertices, cfg.chunk_size)
+    return scene.replace(tri_chunk_perm=jnp.asarray(perm))
+
+
+def _sorted_chunks(scene: Scene, cfg: RenderConfig):
+    """(M, C, 3, 3) sorted triangle blocks + per-chunk AABBs, stop-gradient.
+
+    AABBs are recomputed from the current vertices each trace, so the accel
+    stays valid when vertices move during optimization (only the *ordering*
+    is stale, which affects efficiency, never correctness).
+    """
+    perm = scene.tri_chunk_perm
+    if perm is None:
+        raise ValueError("scene has no chunk permutation; call accel.with_chunks(scene, cfg)")
+    c = cfg.chunk_size
+    tv = lax.stop_gradient(scene.tri_vertices)[perm]        # (M*C, 3, 3)
+    m = tv.shape[0] // c
+    tvc = tv.reshape(m, c, 3, 3)
+    lo = tvc.min(axis=(1, 2))                               # (M, 3)
+    hi = tvc.max(axis=(1, 2))
+    return tvc, lo, hi, perm
+
+
+def _slab(ro, rd, lo, hi):
+    """Ray/AABB slab test: rays (B,3) vs boxes (M,3) → hit mask (B,M).
+
+    Ref: the grid-bounds slab test, Serial/uniform-grid.cpp:155-197,
+    vectorized over rays x boxes with the standard inv-direction form.
+    """
+    inv = jnp.where(rd != 0.0, 1.0 / jnp.where(rd != 0.0, rd, 1.0), BIG)
+    t1 = (lo[None, :, :] - ro[:, None, :]) * inv[:, None, :]
+    t2 = (hi[None, :, :] - ro[:, None, :]) * inv[:, None, :]
+    tn = jnp.max(jnp.minimum(t1, t2), axis=-1)              # (B,M)
+    tf = jnp.min(jnp.maximum(t1, t2), axis=-1)
+    return (tf >= jnp.maximum(tn, 0.0)), tn
+
+
+def _pad_rays(ro, rd, block: int):
+    r = ro.shape[0]
+    pad = (-r) % block
+    if pad:
+        ro = jnp.concatenate([ro, jnp.broadcast_to(ro[-1:], (pad, 3))])
+        rd = jnp.concatenate([rd, jnp.broadcast_to(rd[-1:], (pad, 3))])
+    return ro, rd, r
+
+
+def closest_triangle(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig):
+    """Nearest triangle via the chunk sweep. Returns (t, original_index).
+
+    Per coherent ray block: chunk AABB votes → top-``shortlist`` chunks →
+    dense triangle test on the gathered candidates. Exact whenever every
+    chunk any block ray hits makes the shortlist (tests compare against
+    brute force; the Pallas path is exact by construction).
+    """
+    tvc, lo, hi, perm = _sorted_chunks(scene, cfg)
+    m, c = tvc.shape[0], cfg.chunk_size
+    s = min(cfg.shortlist, m)
+    block = cfg.ray_block
+    ro_p, rd_p, r = _pad_rays(ro, rd, block)
+    nb = ro_p.shape[0] // block
+    tvf = tvc.reshape(m * c, 3, 3)
+
+    def block_fn(args):
+        ro_b, rd_b = args
+        hit, _ = _slab(ro_b, rd_b, lo, hi)                  # (B,M)
+        votes = jnp.sum(hit, axis=0)                        # (M,)
+        _, chunk_ids = lax.top_k(votes, s)                  # (S,)
+        cand_idx = (chunk_ids[:, None] * c
+                    + jnp.arange(c, dtype=jnp.int32)[None, :]).reshape(-1)  # (S*C,)
+        cand = tvf[cand_idx]                                # (S*C,3,3)
+        t, _, _ = triangle_test(ro_b, rd_b, cand, cfg.det_epsilon, cfg.smallest_dist)
+        amin = jnp.argmin(t, axis=1).astype(jnp.int32)
+        tbest = jnp.take_along_axis(t, amin[:, None], 1)[:, 0]
+        gidx = perm[cand_idx[amin]]
+        return tbest, jnp.where(tbest < BIG, gidx, -1)
+
+    t, idx = lax.map(block_fn, (ro_p.reshape(nb, block, 3), rd_p.reshape(nb, block, 3)))
+    return t.reshape(-1)[:r], idx.reshape(-1)[:r]
+
+
+def any_triangle(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig) -> Array:
+    """Occlusion query via the chunk sweep (same shortlist scheme)."""
+    t, idx = closest_triangle(scene, ro, rd, cfg)
+    return idx >= 0

@@ -258,8 +258,9 @@ def closest_hit(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig) -> Hit:
         cv = ro - ctr
         b2 = 2.0 * vec.dot(rd, cv)
         c2 = vec.dot(cv, cv) - rad * rad
-        disc = jnp.maximum(b2 * b2 - 4.0 * c2, 0.0)
-        sq = jnp.sqrt(disc)
+        disc = b2 * b2 - 4.0 * c2
+        dok = disc > 0.0
+        sq = jnp.where(dok, jnp.sqrt(jnp.where(dok, disc, 1.0)), 0.0)
         r1, r2 = (-b2 + sq) * 0.5, (-b2 - sq) * 0.5
         # pick the root matching the (stopped) forward decision
         tt = jnp.where(jnp.abs(lax.stop_gradient(r1) - t_fwd)
@@ -295,9 +296,10 @@ def closest_hit(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig) -> Hit:
         a2 = vec.dot(tmp1, tmp1)
         b2 = 2.0 * vec.dot(tmp1, tmp2)
         c2 = vec.dot(tmp2, tmp2) - rad * rad
-        disc = jnp.maximum(b2 * b2 - 4.0 * a2 * c2, 0.0)
+        disc = b2 * b2 - 4.0 * a2 * c2
+        dok = disc > 0.0
         a_safe = jnp.where(jnp.abs(a2) > 0, a2, 1.0)
-        sq = jnp.sqrt(disc)
+        sq = jnp.where(dok, jnp.sqrt(jnp.where(dok, disc, 1.0)), 0.0)
         r1, r2 = (-b2 + sq) / (2 * a_safe), (-b2 - sq) / (2 * a_safe)
         tt = jnp.where(jnp.abs(lax.stop_gradient(r1) - t_fwd)
                        < jnp.abs(lax.stop_gradient(r2) - t_fwd), r1, r2)

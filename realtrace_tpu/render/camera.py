@@ -71,6 +71,24 @@ class Camera:
     def ray_origins(self) -> Array:
         return jnp.broadcast_to(self.position, (self.height * self.width, 3))
 
+    def ray_directions_tile(self, i0, j0, tile_w: int, tile_h: int) -> Array:
+        """Ray directions for the pixel tile [i0, i0+tile_w) x [j0, j0+tile_h)
+        as (tile_h*tile_w, 3) — the unit of multi-chip pixel-tile sharding.
+        ``i0``/``j0`` may be traced (e.g. derived from ``lax.axis_index``).
+        """
+        dt = self.position.dtype
+        u, v, w = self.basis()
+        aspect = self.width / self.height
+        focal = 1.0 / (2.0 * jnp.tan(self.fovy * (math.pi / 180.0) / 2.0))
+        i = i0 + jnp.arange(tile_w, dtype=dt)
+        j = j0 + jnp.arange(tile_h, dtype=dt)
+        xw = aspect * (i - self.width / 2.0 + 0.5) / self.width
+        yw = (j - self.height / 2.0 + 0.5) / self.height
+        d = (-w)[None, None, :] * focal \
+            + u[None, None, :] * xw[None, :, None] \
+            + v[None, None, :] * yw[:, None, None]
+        return vec.normalize(d).reshape(-1, 3)
+
 
 def image_from_buffer(buf: Array, camera: Camera) -> Array:
     """Reorder the flat (H*W, 3) color buffer into a top-down (H, W, 3) image.

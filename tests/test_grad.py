@@ -1,0 +1,131 @@
+"""Gradient tests: autodiff pixel gradients vs finite differences
+(BASELINE config 4 / SURVEY §4 test pyramid level 3)."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from realtrace_tpu.apps import scenes
+from realtrace_tpu.core.types import RenderConfig, SceneBuilder
+from realtrace_tpu.diff.inverse import (apply_params, image_grad,
+                                        make_train_step, render_loss,
+                                        scene_params)
+from realtrace_tpu.render.pipeline import render_buffer
+
+DT = jnp.float64
+CFG = RenderConfig(max_depth=2)
+
+
+def small_scene():
+    scene, cam = scenes.sphere_plane_scene(dtype=DT)
+    camera = scenes.make_camera(cam, 24, 18, dtype=DT)
+    return scene, camera
+
+
+def fd_check(scene, camera, cfg, field, subidx, eps=1e-5, rtol=5e-3, atol=1e-8):
+    """Central finite difference on one scalar of one field vs autodiff."""
+    loss, grads = image_grad(scene, camera, cfg)
+
+    def loss_at(delta):
+        p = scene_params(scene)
+        leaf = p[field]
+        if dataclasses.is_dataclass(leaf) or hasattr(leaf, "replace"):
+            # Materials pytree: subidx = (attr, i)
+            attr, i = subidx
+            arr = getattr(leaf, attr)
+            leaf = leaf.replace(**{attr: arr.at[i].add(delta)})
+        else:
+            leaf = leaf.at[subidx].add(delta)
+        p[field] = leaf
+        buf = render_buffer(apply_params(scene, p), camera, cfg)
+        return float(jnp.mean(buf))
+
+    fd = (loss_at(eps) - loss_at(-eps)) / (2 * eps)
+    g = grads[field]
+    if hasattr(g, "replace") and not hasattr(g, "at"):
+        attr, i = subidx
+        ad = float(getattr(g, attr)[i])
+    else:
+        ad = float(g[subidx])
+    np.testing.assert_allclose(ad, fd, rtol=rtol, atol=atol)
+    return ad
+
+
+def test_grad_sphere_center():
+    scene, camera = small_scene()
+    ad = fd_check(scene, camera, CFG, "sph_center", (0, 1))
+    assert np.isfinite(ad)
+
+
+def test_grad_sphere_radius_and_color():
+    scene, camera = small_scene()
+    fd_check(scene, camera, CFG, "sph_radius", (0,))
+    ad = fd_check(scene, camera, CFG, "sph_color", (0, 0))
+    assert ad != 0.0
+
+
+def test_grad_light_position_and_intensity():
+    scene, camera = small_scene()
+    loss, grads = image_grad(scene, camera, CFG)
+    glp = np.asarray(grads["lights"].position)
+    gli = np.asarray(grads["lights"].intensity)
+    assert np.all(np.isfinite(glp)) and np.all(np.isfinite(gli))
+    assert np.any(gli != 0)
+
+    # finite difference on light intensity channel 1
+    def loss_at(d):
+        p = scene_params(scene)
+        li = p["lights"].intensity.at[0, 1].add(d)
+        p["lights"] = p["lights"].replace(intensity=li)
+        return float(jnp.mean(render_buffer(apply_params(scene, p), camera, CFG)))
+
+    eps = 1e-5
+    fd = (loss_at(eps) - loss_at(-eps)) / (2 * eps)
+    np.testing.assert_allclose(float(gli[0, 1]), fd, rtol=5e-3, atol=1e-8)
+
+
+def test_grad_material_kd():
+    scene, camera = small_scene()
+    fd_check(scene, camera, CFG, "sph_materials", ("kd", 0))
+
+
+def test_grad_triangle_vertex_and_vertex_color():
+    b = SceneBuilder(dtype=DT)
+    b.ambient = (1, 1, 1)
+    b.background = (0.1, 0.3, 0.6)
+    b.add_triangle((-3, -2, 0), (3, -2, 0), (0, 3, 0),
+                   vertex_colors=((1, 0, 0), (0, 1, 0), (0, 0, 1)))
+    b.add_light((0, 5, 10), (1, 1, 1))
+    scene = b.build()
+    cam = scenes.make_camera(dict(position=(0, 0, 12), target=(0, 0, 0),
+                                  up=(0, 1, 0), fovy=45), 24, 24, dtype=DT)
+    fd_check(scene, cam, CFG, "tri_vertices", (0, 2, 0), eps=1e-5)
+    ad = fd_check(scene, cam, CFG, "tri_colors", (0, 1, 1))
+    assert ad != 0.0  # texel gradients flow (texture = per-vertex colors)
+
+
+def test_grad_background():
+    scene, camera = small_scene()
+    ad = fd_check(scene, camera, CFG, "background", (2,))
+    assert ad > 0.0
+
+
+def test_inverse_rendering_recovers_color():
+    """Mini end-to-end training: recover the sphere albedo from a target."""
+    import optax
+    scene, camera = small_scene()
+    target = render_buffer(scene, camera, CFG)
+    # perturb the albedo and optimize it back
+    wrong = scene.replace(sph_color=jnp.asarray([[0.2, 0.6, 0.9]], DT))
+    step, params, opt_state = make_train_step(
+        wrong, camera, CFG, target, optimizer=optax.adam(5e-2),
+        fields=("sph_color",))
+    losses = []
+    for _ in range(60):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 1e-2, losses[::10]
+    got = np.asarray(params["sph_color"][0])
+    np.testing.assert_allclose(got, [0.8, 0.1, 0.0], atol=0.05)
