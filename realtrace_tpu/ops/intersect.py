@@ -166,6 +166,9 @@ def _tri_closest(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig):
         idx = jnp.argmin(t, axis=1).astype(jnp.int32)
         tbest = jnp.take_along_axis(t, idx[:, None], axis=1)[:, 0]
         return tbest, jnp.where(tbest < BIG, idx, -1)
+    if cfg.accel == "pallas":
+        from realtrace_tpu.ops.pallas import trace
+        return trace.closest_triangle(scene, ro, rd, cfg)
     from realtrace_tpu.ops import accel
     return accel.closest_triangle(scene, ro, rd, cfg)
 
@@ -335,6 +338,9 @@ def any_hit(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig) -> Array:
             t, _, _ = triangle_test(ro, rd, lax.stop_gradient(scene.tri_vertices),
                                     cfg.det_epsilon, cfg.smallest_dist)
             occ |= jnp.any(t < BIG, axis=1)
+        elif cfg.accel == "pallas":
+            from realtrace_tpu.ops.pallas import trace
+            occ |= trace.any_triangle(scene, ro, rd, cfg)
         else:
             from realtrace_tpu.ops import accel
             occ |= accel.any_triangle(scene, ro, rd, cfg)

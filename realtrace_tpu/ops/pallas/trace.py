@@ -1,0 +1,218 @@
+"""Pallas fused closest-hit kernel: chunk-AABB sweep with MXU triangle tests.
+
+The TPU replacement for the CUDA megakernel's inner loop
+(``UniformGrid::intersect`` DDA + ``Triangle::intersect``,
+Parellel/structures.cu:237-320 / :115-135). Design:
+
+  * rays live on LANES (tile = 1024 rays per grid step), triangles on
+    SUBLANES — every per-ray quantity is a (1, 1024) row, so reductions over
+    triangles are cheap sublane reductions and no relayouts are needed;
+  * the four Cramer determinants (det, t_num, beta_num, gamma_num) of the
+    reference triangle test (Serial/triangle.cpp:10-24) are LINEAR in the
+    per-ray feature vector f = [1, ro, rd, rd x ro] — so one chunk of C
+    triangles is tested against 1024 rays with ONE MXU matmul
+    (4C, 16) @ (16, 1024);
+  * chunks are skipped at block level with ``pl.when`` when no ray's slab
+    test hits the chunk AABB (real work skipping — the TPU analog of the DDA
+    early-out, Serial/uniform-grid.cpp:251);
+  * triangle constants are stored relative to each chunk's centroid and the
+    feature vector is re-centered per chunk in-kernel, keeping the f32
+    cancellation error at chunk scale instead of scene scale.
+
+The kernel is forward-only (t, index); differentiable hit attributes are
+recomputed outside (ops/intersect.closest_hit).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array, lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from realtrace_tpu.core.types import RenderConfig, Scene
+from realtrace_tpu.ops.intersect import BIG
+
+LANES = 1024          # rays per kernel invocation (8 sublanes x 128 lanes worth)
+FEAT = 16             # feature rows: [1, ro(3), rd(3), q(3), inv(3), pad(3)]
+
+
+def _pack_tri_consts(tvc: Array, centroid: Array) -> Array:
+    """Per-triangle linear-test constants, chunk-centroid-relative.
+
+    tvc: (M, C, 3, 3) sorted triangle vertices; centroid: (M, 3).
+    Returns B: (M, 4C, FEAT) with column groups [det | t_num | beta_num |
+    gamma_num] as linear forms over f = [1, ro-G, rd, rd x (ro-G), inv, pad].
+    """
+    m, c = tvc.shape[0], tvc.shape[1]
+    a = tvc[:, :, 0] - centroid[:, None, :]     # (M, C, 3) A' = A - G
+    e1 = (tvc[:, :, 0] - tvc[:, :, 1])          # A - B
+    e2 = (tvc[:, :, 0] - tvc[:, :, 2])          # A - C
+    n = jnp.cross(e1, e2)
+    d = jnp.sum(n * a, axis=-1)                 # n . A'
+    c1 = jnp.cross(a, e2)                       # A' x e2
+    c2 = jnp.cross(e1, a)                       # e1 x A'
+    z = jnp.zeros_like(d)
+    z3 = jnp.zeros_like(n)
+
+    def rows(w0, w_ro, w_rd, w_q):
+        # (M, C, FEAT) linear form: w0 + w_ro.ro' + w_rd.rd + w_q.q'
+        # (zero rows for the inv/pad features 10..15)
+        return jnp.concatenate([w0[..., None], w_ro, w_rd, w_q, z3, z3], axis=-1)
+
+    b_det = rows(z, z3, n, z3)                  # det      = n . rd
+    b_t = rows(d, -n, z3, z3)                   # t_num    = d - n . ro'
+    b_beta = rows(z, z3, c1, -e2)               # beta_num = c1 . rd - e2 . q'
+    b_gamma = rows(z, z3, c2, e1)               # gamma_num= c2 . rd + e1 . q'
+    return jnp.concatenate([b_det, b_t, b_beta, b_gamma], axis=1)  # (M, 4C, FEAT)
+
+
+def _features(ro: Array, rd: Array) -> Array:
+    """Per-ray features (R, FEAT): [1, ro, rd, rd x ro, 1/rd, pad]."""
+    q = jnp.cross(rd, ro)
+    inv = jnp.where(rd != 0.0, 1.0 / jnp.where(rd != 0.0, rd, 1.0), BIG)
+    one = jnp.ones((ro.shape[0], 1), ro.dtype)
+    pad = jnp.zeros((ro.shape[0], FEAT - 13), ro.dtype)
+    return jnp.concatenate([one, ro, rd, q, inv, pad], axis=-1)
+
+
+def _kernel(meta_ref, feat_ref, b_ref, out_t_ref, out_i_ref, *, num_chunks: int,
+            chunk_size: int, det_eps: float, t_min: float):
+    """One grid step = one tile of LANES rays vs all chunks."""
+    c = chunk_size
+    a = feat_ref[0]                                  # (FEAT, LANES)
+
+    rox, roy, roz = a[1:2], a[2:3], a[3:4]           # (1, LANES) rows
+    rdx, rdy, rdz = a[4:5], a[5:6], a[6:7]
+    invx, invy, invz = a[10:11], a[11:12], a[12:13]
+
+    def body(m, carry):
+        best_t, best_i = carry                       # (1, LANES) f32 / i32
+        lox, loy, loz = meta_ref[m, 0], meta_ref[m, 1], meta_ref[m, 2]
+        hix, hiy, hiz = meta_ref[m, 3], meta_ref[m, 4], meta_ref[m, 5]
+        gx, gy, gz = meta_ref[m, 6], meta_ref[m, 7], meta_ref[m, 8]
+
+        # slab test (world space)
+        t1x, t2x = (lox - rox) * invx, (hix - rox) * invx
+        t1y, t2y = (loy - roy) * invy, (hiy - roy) * invy
+        t1z, t2z = (loz - roz) * invz, (hiz - roz) * invz
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+                         jnp.minimum(t1z, t2z))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+                         jnp.maximum(t1z, t2z))
+        anyhit = jnp.any((tf >= jnp.maximum(tn, 0.0)) & (tn < best_t))
+
+        def chunk_hit(carry):
+            best_t, best_i = carry
+            # re-center features on the chunk centroid: ro' = ro - G,
+            # q' = q - rd x G  (translation-invariant determinants)
+            cqx = rdy * gz - rdz * gy
+            cqy = rdz * gx - rdx * gz
+            cqz = rdx * gy - rdy * gx
+            a2 = jnp.concatenate([
+                a[0:1],
+                rox - gx, roy - gy, roz - gz,
+                a[4:7],
+                a[7:8] - cqx, a[8:9] - cqy, a[9:10] - cqz,
+                a[10:FEAT],
+            ], axis=0)                               # (FEAT, LANES)
+            bm = b_ref[m]                            # (4C, FEAT)
+            # HIGHEST precision: the default TPU matmul is bf16-pass based,
+            # whose 8-bit mantissa misclassifies grazing hits
+            p = jnp.dot(bm, a2, preferred_element_type=jnp.float32,
+                        precision=lax.Precision.HIGHEST)  # (4C, LANES)
+            det, tnum = p[0:c], p[c:2 * c]
+            bnum, gnum = p[2 * c:3 * c], p[3 * c:4 * c]
+            ok = jnp.abs(det) >= det_eps
+            invd = 1.0 / jnp.where(ok, det, 1.0)
+            t = tnum * invd
+            beta = bnum * invd
+            gamma = gnum * invd
+            valid = (ok & (beta > 0.0) & (gamma > 0.0) & (beta + gamma < 1.0)
+                     & (t > t_min) & (t < best_t))
+            tm = jnp.where(valid, t, BIG)            # (C, LANES)
+            tmin = jnp.min(tm, axis=0, keepdims=True)
+            amin = jnp.argmin(tm, axis=0, keepdims=True).astype(jnp.int32)
+            upd = tmin < best_t
+            return (jnp.where(upd, tmin, best_t),
+                    jnp.where(upd, m * c + amin, best_i))
+
+        return lax.cond(anyhit, chunk_hit, lambda s: s, (best_t, best_i))
+
+    init = (jnp.full((1, LANES), BIG, jnp.float32),
+            jnp.full((1, LANES), -1, jnp.int32))
+    best_t, best_i = lax.fori_loop(0, num_chunks, body, init)
+    out_t_ref[0] = best_t[0]
+    out_i_ref[0] = best_i[0]
+
+
+@functools.partial(jax.jit, static_argnames=("chunk_size", "det_eps", "t_min", "interpret"))
+def _sweep(meta, feat, b, chunk_size: int, det_eps: float, t_min: float,
+           interpret: bool):
+    nt = feat.shape[0]
+    m = b.shape[0]
+    kern = functools.partial(_kernel, num_chunks=m, chunk_size=chunk_size,
+                             det_eps=det_eps, t_min=t_min)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((1, FEAT, LANES), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((m, 4 * chunk_size, FEAT), lambda i, *_: (0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, LANES), lambda i, *_: (i, 0)),
+            pl.BlockSpec((1, LANES), lambda i, *_: (i, 0)),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nt, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((nt, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(meta, feat, b)
+
+
+def closest_triangle(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig):
+    """accel-API entry: nearest triangle (t, original_index) via the Pallas
+    chunk sweep. Forward-only (callers stop gradients)."""
+    perm = scene.tri_chunk_perm
+    if perm is None:
+        raise ValueError("scene has no chunk permutation; call accel.with_chunks(scene, cfg)")
+    c = cfg.chunk_size
+    f32 = jnp.float32
+    tv = lax.stop_gradient(scene.tri_vertices).astype(f32)[perm]
+    m = tv.shape[0] // c
+    tvc = tv.reshape(m, c, 3, 3)
+    lo = tvc.min(axis=(1, 2))
+    hi = tvc.max(axis=(1, 2))
+    centroid = 0.5 * (lo + hi)
+    b = _pack_tri_consts(tvc, centroid)                       # (M, 4C, FEAT)
+    meta = jnp.concatenate([lo, hi, centroid], axis=-1)       # (M, 9)
+
+    r = ro.shape[0]
+    pad = (-r) % LANES
+    ro32 = jnp.concatenate([ro.astype(f32), jnp.zeros((pad, 3), f32)]) if pad else ro.astype(f32)
+    rd32 = jnp.concatenate([rd.astype(f32), jnp.ones((pad, 3), f32)]) if pad else rd.astype(f32)
+    feat = _features(ro32, rd32)                              # (R', FEAT)
+    nt = feat.shape[0] // LANES
+    feat = feat.reshape(nt, LANES, FEAT).transpose(0, 2, 1)   # (nt, FEAT, LANES)
+
+    interpret = jax.default_backend() == "cpu"
+    t, idx = _sweep(meta, feat, b, c, float(cfg.det_epsilon),
+                    float(cfg.smallest_dist), interpret)
+    t = t.reshape(-1)[:r].astype(ro.dtype)
+    idx = idx.reshape(-1)[:r]
+    orig = jnp.where(idx >= 0, perm[jnp.maximum(idx, 0)], -1)
+    return jnp.where(idx >= 0, t, BIG), orig
+
+
+def any_triangle(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig) -> Array:
+    t, idx = closest_triangle(scene, ro, rd, cfg)
+    return idx >= 0

@@ -1,0 +1,111 @@
+"""Pallas chunk-sweep kernel tests (interpret mode on CPU; the compiled path
+is exercised on TPU by bench.py and the TPU smoke script)."""
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from realtrace_tpu.apps import scenes
+from realtrace_tpu.core import vec
+from realtrace_tpu.core.types import RenderConfig, SceneBuilder
+from realtrace_tpu.ops import accel, intersect
+from realtrace_tpu.ops.pallas import trace
+from realtrace_tpu.render.pipeline import render_image
+
+
+def random_scene(n=137, spread=3.0, seed=3):
+    rng = np.random.default_rng(seed)
+    b = SceneBuilder(dtype=jnp.float32)
+    for ctr in rng.uniform(-10, 10, (n, 3)):
+        tri = ctr + rng.uniform(-spread, spread, (3, 3))
+        b.add_triangle(tri[0], tri[1], tri[2])
+    b.add_light((0, 30, 30), (1, 1, 1))
+    b.ambient = (1, 1, 1)
+    b.background = (0.1, 0.3, 0.6)
+    return b.build()
+
+
+def random_rays(r=500, seed=11):
+    rng = np.random.default_rng(seed)
+    ro = jnp.asarray(rng.uniform(-15, 15, (r, 3)), jnp.float32)
+    rd = vec.normalize(jnp.asarray(rng.standard_normal((r, 3)), jnp.float32))
+    return ro, rd
+
+
+def brute(scene, ro, rd, cfg):
+    t, _, _ = intersect.triangle_test(ro, rd, scene.tri_vertices,
+                                      cfg.det_epsilon, cfg.smallest_dist)
+    tb = jnp.min(t, axis=1)
+    ib = jnp.where(tb < intersect.BIG, jnp.argmin(t, axis=1), -1)
+    return np.asarray(tb), np.asarray(ib)
+
+
+def test_pack_tri_consts_reproduces_cramer():
+    """The linear-form constants must reproduce det/t/beta/gamma exactly."""
+    rng = np.random.default_rng(0)
+    # stacked large triangles on z=k planes so hits are guaranteed
+    tv = jnp.asarray([[[[-10, -10, k + 1.0], [10, -10, k + 1.0], [0, 10, k + 1.0]]
+                       for k in range(8)]], jnp.float32)
+    g = jnp.asarray(np.asarray(tv).reshape(-1, 3).mean(0))[None] + 7.0
+    b = trace._pack_tri_consts(tv, g)
+    assert b.shape == (1, 32, trace.FEAT)
+    ro = jnp.asarray(rng.uniform(-2, 2, (16, 3)) * np.array([1, 1, 0]), jnp.float32)
+    rd = vec.normalize(jnp.asarray(rng.standard_normal((16, 3))
+                                   + np.array([0, 0, 4]), jnp.float32))
+    feat = trace._features(ro, rd)
+    a = feat.T
+    gx, gy, gz = g[0]
+    rdx, rdy, rdz = a[4:5], a[5:6], a[6:7]
+    a2 = jnp.concatenate([
+        a[0:1], a[1:2] - gx, a[2:3] - gy, a[3:4] - gz, a[4:7],
+        a[7:8] - (rdy * gz - rdz * gy), a[8:9] - (rdz * gx - rdx * gz),
+        a[9:10] - (rdx * gy - rdy * gx), a[10:trace.FEAT]], axis=0)
+    p = b[0] @ a2
+    det, tnum = p[0:8], p[8:16]
+    t = (tnum / det).T
+    tt, _, _ = intersect.triangle_test(ro, rd, tv.reshape(8, 3, 3), 1e-7, 1e-4)
+    mask = np.asarray(tt) < 1e29
+    assert mask.sum() > 0
+    np.testing.assert_allclose(np.asarray(t)[mask], np.asarray(tt)[mask],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_matches_bruteforce_interpret():
+    scene = random_scene()
+    cfg = RenderConfig(accel="pallas", chunk_size=32)
+    scene = accel.with_chunks(scene, cfg)
+    ro, rd = random_rays()
+    tp, ip = trace.closest_triangle(scene, ro, rd, cfg)
+    tp, ip = np.asarray(tp), np.asarray(ip)
+    tb, ib = brute(scene, ro, rd, cfg)
+    hit_p, hit_b = tp < 1e29, tb < 1e29
+    np.testing.assert_array_equal(hit_p, hit_b)
+    both = hit_p & hit_b
+    np.testing.assert_allclose(tp[both], tb[both], rtol=1e-4)
+    assert (ip[both] == ib[both]).mean() > 0.99  # ties may differ
+
+
+def test_pallas_ray_count_not_multiple_of_tile():
+    scene = random_scene(40)
+    cfg = RenderConfig(accel="pallas", chunk_size=32)
+    scene = accel.with_chunks(scene, cfg)
+    ro, rd = random_rays(r=777, seed=2)  # not a multiple of 1024
+    tp, ip = trace.closest_triangle(scene, ro, rd, cfg)
+    assert tp.shape == (777,) and ip.shape == (777,)
+    tb, ib = brute(scene, ro, rd, cfg)
+    np.testing.assert_array_equal(np.asarray(ip) >= 0, ib >= 0)
+
+
+def test_pallas_render_matches_chunked_image(reference_assets):
+    """End-to-end: full wavefront render through the pallas path."""
+    scene, cam = scenes.serial_obj_scene(reference_assets / "tetrahedron.obj",
+                                         dtype=jnp.float32)
+    cfg_b = RenderConfig(accel="bruteforce", max_depth=2)
+    cfg_p = dataclasses.replace(cfg_b, accel="pallas", chunk_size=8)
+    scene_p = accel.with_chunks(scene, cfg_p)
+    camera = scenes.make_camera(cam, 32, 32, dtype=jnp.float32)
+    img_b = np.asarray(render_image(scene, camera, cfg_b))
+    img_p = np.asarray(render_image(scene_p, camera, cfg_p))
+    err = np.abs(img_b - img_p).max(axis=-1)
+    assert (err > 1e-3).mean() <= 0.01, f"max {err.max()}, frac {(err > 1e-3).mean()}"
