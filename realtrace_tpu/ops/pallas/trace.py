@@ -145,8 +145,8 @@ def _kernel(meta_ref, feat_ref, b_ref, out_t_ref, out_i_ref, *, num_chunks: int,
     init = (jnp.full((1, LANES), BIG, jnp.float32),
             jnp.full((1, LANES), -1, jnp.int32))
     best_t, best_i = lax.fori_loop(0, num_chunks, body, init)
-    out_t_ref[0] = best_t[0]
-    out_i_ref[0] = best_i[0]
+    out_t_ref[0] = best_t
+    out_i_ref[0] = best_i
 
 
 @functools.partial(jax.jit, static_argnames=("chunk_size", "det_eps", "t_min", "interpret"))
@@ -164,19 +164,22 @@ def _sweep(meta, feat, b, chunk_size: int, det_eps: float, t_min: float,
             pl.BlockSpec((m, 4 * chunk_size, FEAT), lambda i, *_: (0, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, LANES), lambda i, *_: (i, 0)),
-            pl.BlockSpec((1, LANES), lambda i, *_: (i, 0)),
+            # trailing dims equal the array dims (1, LANES) — required by the
+            # TPU block-shape tiling rule when the grid dim leads
+            pl.BlockSpec((1, 1, LANES), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, 1, LANES), lambda i, *_: (i, 0, 0)),
         ],
     )
-    return pl.pallas_call(
+    t, idx = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((nt, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((nt, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((nt, 1, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((nt, 1, LANES), jnp.int32),
         ],
         interpret=interpret,
     )(meta, feat, b)
+    return t.reshape(nt, LANES), idx.reshape(nt, LANES)
 
 
 def closest_triangle(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig):

@@ -41,3 +41,31 @@ def test_texture_sampling_in_range(reference_assets):
     assert (c >= 0.0).all() and (c <= 1.0).all()
     # textured faces should not all be the default color
     assert not np.allclose(c, c[0, 0])
+
+
+def test_native_parser_matches_python(reference_assets, monkeypatch):
+    """The C++ parser (csrc/objloader.cpp) must agree with the pure-python
+    fallback field-for-field."""
+    import realtrace_tpu.io.obj as objmod
+    from realtrace_tpu.io import native_obj
+
+    native = native_obj.parse(reference_assets / "bob_tri.obj")
+    monkeypatch.setattr(objmod, "_try_native", lambda p: None)
+    py = objmod.parse_obj(reference_assets / "bob_tri.obj")
+    v, vn, vt, fv, ft = native
+    np.testing.assert_allclose(v, py.vertices)
+    np.testing.assert_allclose(vn, py.normals)
+    np.testing.assert_allclose(vt, py.uvs)
+    np.testing.assert_array_equal(fv, py.tri_vertex_idx)
+    np.testing.assert_array_equal(ft, py.tri_uv_idx)
+
+
+def test_parse_obj_uses_native_fast_path(reference_assets):
+    import time
+
+    from realtrace_tpu.io.obj import parse_obj
+    t0 = time.perf_counter()
+    m = parse_obj(reference_assets / "blub_triangulated.obj")
+    dt = time.perf_counter() - t0
+    assert m.n_faces == 14208
+    assert dt < 2.0  # native path parses 14k faces in ms, python in ~1s
