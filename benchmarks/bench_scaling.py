@@ -1,0 +1,78 @@
+"""Scaling benchmark: rays/s efficiency of pixel-tile sharding vs 1 device
+(north-star metric 3: >=85% at 2+ hosts).
+
+Real multi-chip hardware isn't present in this environment; by default this
+runs on the emulated CPU mesh (JAX_PLATFORMS=cpu,
+--xla_force_host_platform_device_count=N) which validates the sharding
+structure and measures parallel efficiency of the emulation. On a real pod
+slice, run unmodified under `jax.distributed`.
+
+Env: RT_SCALE_DEVICES (default 8), RT_BENCH_WIDTH/HEIGHT/DEPTH.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+
+
+def main() -> None:
+    n = int(os.environ.get("RT_SCALE_DEVICES", 8))
+    if "xla_force_host_platform_device_count" in os.environ.get("XLA_FLAGS", ""):
+        # emulated CPU mesh requested; must win over the sitecustomize-pinned
+        # TPU platform before backends initialize
+        jax.config.update("jax_platforms", "cpu")
+    if len(jax.devices()) < n:
+        raise SystemExit(
+            f"need {n} devices (run with JAX_PLATFORMS=cpu "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n})")
+    import jax.numpy as jnp
+
+    from realtrace_tpu.apps import scenes
+    from realtrace_tpu.core.types import RenderConfig
+    from realtrace_tpu.parallel import mesh as pmesh
+
+    width = int(os.environ.get("RT_BENCH_WIDTH", 256))
+    height = int(os.environ.get("RT_BENCH_HEIGHT", 256))
+    depth = int(os.environ.get("RT_BENCH_DEPTH", 2))
+    cfg = RenderConfig(max_depth=depth)
+    scene, cam = scenes.serial_obj_scene(
+        "/root/reference/Serial/tetrahedron.obj", dtype=jnp.float32)
+    camera = scenes.make_camera(cam, width, height, dtype=jnp.float32)
+
+    branching = scene.has_dielectrics()
+
+    def timed(nd):
+        mesh = pmesh.make_mesh(nd)
+        s = pmesh.replicate_scene(scene, mesh)
+        f = jax.jit(lambda s, c: pmesh.sharded_render(s, c, cfg, mesh,
+                                                      branching=branching))
+        img = f(s, camera)
+        jax.block_until_ready(img)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            img = f(s, camera)
+        jax.block_until_ready(img)
+        return (time.perf_counter() - t0) / 3
+
+    t1 = timed(1)
+    tn = timed(n)
+    eff = t1 / (tn * n)
+    print(json.dumps({
+        "metric": f"pixel-tile sharding efficiency at {n} devices ({jax.default_backend()})",
+        "value": round(eff, 4),
+        "unit": "fraction",
+        "t_1dev_s": round(t1, 4),
+        "t_ndev_s": round(tn, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

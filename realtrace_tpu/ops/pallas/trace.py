@@ -79,31 +79,23 @@ def _features(ro: Array, rd: Array) -> Array:
     return jnp.concatenate([one, ro, rd, q, inv, pad], axis=-1)
 
 
-def _kernel(meta_ref, feat_ref, b_ref, out_t_ref, out_i_ref, *, num_chunks: int,
-            chunk_size: int, det_eps: float, t_min: float):
-    """One grid step = one tile of LANES rays vs all chunks."""
+def _kernel(meta_ref, mask_ref, feat_ref, b_ref, out_t_ref, out_i_ref, *,
+            num_chunks: int, chunk_size: int, det_eps: float, t_min: float):
+    """One grid step = one tile of LANES rays vs all chunks.
+
+    ``mask_ref`` is the tile's precomputed chunk-visibility mask (computed
+    vectorized in XLA outside the kernel): the miss path per chunk is a
+    scalar SMEM read + branch instead of a 40-op slab test, which is what
+    makes the sequential chunk sweep cheap when most chunks are invisible.
+    """
     c = chunk_size
     a = feat_ref[0]                                  # (FEAT, LANES)
-
-    rox, roy, roz = a[1:2], a[2:3], a[3:4]           # (1, LANES) rows
-    rdx, rdy, rdz = a[4:5], a[5:6], a[6:7]
-    invx, invy, invz = a[10:11], a[11:12], a[12:13]
+    rdx, rdy, rdz = a[4:5], a[5:6], a[6:7]           # (1, LANES) rows
 
     def body(m, carry):
         best_t, best_i = carry                       # (1, LANES) f32 / i32
-        lox, loy, loz = meta_ref[m, 0], meta_ref[m, 1], meta_ref[m, 2]
-        hix, hiy, hiz = meta_ref[m, 3], meta_ref[m, 4], meta_ref[m, 5]
-        gx, gy, gz = meta_ref[m, 6], meta_ref[m, 7], meta_ref[m, 8]
-
-        # slab test (world space)
-        t1x, t2x = (lox - rox) * invx, (hix - rox) * invx
-        t1y, t2y = (loy - roy) * invy, (hiy - roy) * invy
-        t1z, t2z = (loz - roz) * invz, (hiz - roz) * invz
-        tn = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
-                         jnp.minimum(t1z, t2z))
-        tf = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
-                         jnp.maximum(t1z, t2z))
-        anyhit = jnp.any((tf >= jnp.maximum(tn, 0.0)) & (tn < best_t))
+        gx, gy, gz = meta_ref[m, 0], meta_ref[m, 1], meta_ref[m, 2]
+        anyhit = mask_ref[0, 0, m] > 0
 
         def chunk_hit(carry):
             best_t, best_i = carry
@@ -114,7 +106,7 @@ def _kernel(meta_ref, feat_ref, b_ref, out_t_ref, out_i_ref, *, num_chunks: int,
             cqz = rdx * gy - rdy * gx
             a2 = jnp.concatenate([
                 a[0:1],
-                rox - gx, roy - gy, roz - gz,
+                a[1:2] - gx, a[2:3] - gy, a[3:4] - gz,
                 a[4:7],
                 a[7:8] - cqx, a[8:9] - cqy, a[9:10] - cqz,
                 a[10:FEAT],
@@ -150,7 +142,7 @@ def _kernel(meta_ref, feat_ref, b_ref, out_t_ref, out_i_ref, *, num_chunks: int,
 
 
 @functools.partial(jax.jit, static_argnames=("chunk_size", "det_eps", "t_min", "interpret"))
-def _sweep(meta, feat, b, chunk_size: int, det_eps: float, t_min: float,
+def _sweep(meta, mask, feat, b, chunk_size: int, det_eps: float, t_min: float,
            interpret: bool):
     nt = feat.shape[0]
     m = b.shape[0]
@@ -160,6 +152,9 @@ def _sweep(meta, feat, b, chunk_size: int, det_eps: float, t_min: float,
         num_scalar_prefetch=1,
         grid=(nt,),
         in_specs=[
+            # per-tile chunk-visibility mask, scalar-readable (3D so the
+            # trailing block dims equal the array dims per the tiling rule)
+            pl.BlockSpec((1, 1, m), lambda i, *_: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, FEAT, LANES), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((m, 4 * chunk_size, FEAT), lambda i, *_: (0, 0, 0)),
         ],
@@ -178,8 +173,43 @@ def _sweep(meta, feat, b, chunk_size: int, det_eps: float, t_min: float,
             jax.ShapeDtypeStruct((nt, 1, LANES), jnp.int32),
         ],
         interpret=interpret,
-    )(meta, feat, b)
+    )(meta, mask, feat, b)
     return t.reshape(nt, LANES), idx.reshape(nt, LANES)
+
+
+def _chunk_mask(ro, rd, lo, hi, nt):
+    """Conservative per-tile chunk visibility via interval arithmetic.
+
+    Instead of slab-testing every ray x chunk (an (R, M, 3) blow-up), bound
+    each tile's rays by [ro_min, ro_max] x [inv_min, inv_max] intervals and
+    interval-evaluate the slab test per (tile, chunk): optimistic entry bound
+    tn_lo vs pessimistic... optimistic exit bound tf_hi. Never excludes a
+    chunk any tile ray could hit (exactness comes from the in-kernel test);
+    sign-straddling direction components widen inv to ±BIG and degrade to
+    "include everything" for that tile. O(nt * M) work. Returns (nt,1,M) i32.
+    """
+    inv = jnp.where(rd != 0.0, 1.0 / jnp.where(rd != 0.0, rd, 1.0), BIG)
+    ro_t = ro.reshape(nt, LANES, 3)
+    inv_t = inv.reshape(nt, LANES, 3)
+    ro_lo, ro_hi = ro_t.min(1)[:, None], ro_t.max(1)[:, None]      # (nt,1,3)
+    inv_lo, inv_hi = inv_t.min(1)[:, None], inv_t.max(1)[:, None]
+
+    def plane_interval(p):
+        # interval for (p - ro) * inv, p: (M,3)
+        a_lo = p[None] - ro_hi                                      # (nt,M,3)
+        a_hi = p[None] - ro_lo
+        cands = jnp.stack([a_lo * inv_lo, a_lo * inv_hi,
+                           a_hi * inv_lo, a_hi * inv_hi])
+        return cands.min(0), cands.max(0)
+
+    ta_lo, ta_hi = plane_interval(lo)
+    tb_lo, tb_hi = plane_interval(hi)
+    near_lo = jnp.minimum(ta_lo, tb_lo)      # lower bound of min(ta, tb)
+    far_hi = jnp.maximum(ta_hi, tb_hi)       # upper bound of max(ta, tb)
+    tn_lo = near_lo.max(-1)                  # (nt, M)
+    tf_hi = far_hi.min(-1)
+    mask = tf_hi >= jnp.maximum(tn_lo, 0.0)
+    return mask.astype(jnp.int32)[:, None, :]
 
 
 def closest_triangle(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig):
@@ -197,7 +227,7 @@ def closest_triangle(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig):
     hi = tvc.max(axis=(1, 2))
     centroid = 0.5 * (lo + hi)
     b = _pack_tri_consts(tvc, centroid)                       # (M, 4C, FEAT)
-    meta = jnp.concatenate([lo, hi, centroid], axis=-1)       # (M, 9)
+    meta = centroid                                           # (M, 3)
 
     r = ro.shape[0]
     pad = (-r) % LANES
@@ -205,10 +235,11 @@ def closest_triangle(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig):
     rd32 = jnp.concatenate([rd.astype(f32), jnp.ones((pad, 3), f32)]) if pad else rd.astype(f32)
     feat = _features(ro32, rd32)                              # (R', FEAT)
     nt = feat.shape[0] // LANES
+    mask = _chunk_mask(ro32, rd32, lo, hi, nt)                # (nt, M)
     feat = feat.reshape(nt, LANES, FEAT).transpose(0, 2, 1)   # (nt, FEAT, LANES)
 
     interpret = jax.default_backend() == "cpu"
-    t, idx = _sweep(meta, feat, b, c, float(cfg.det_epsilon),
+    t, idx = _sweep(meta, mask, feat, b, c, float(cfg.det_epsilon),
                     float(cfg.smallest_dist), interpret)
     t = t.reshape(-1)[:r].astype(ro.dtype)
     idx = idx.reshape(-1)[:r]

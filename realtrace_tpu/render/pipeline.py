@@ -10,11 +10,34 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import Array
 
 from realtrace_tpu.core.types import RenderConfig, Scene
 from realtrace_tpu.render.camera import Camera, image_from_buffer
 from realtrace_tpu.render.shade import trace_wavefront
+
+WAVEFRONT_TILE = 1024  # rays per accel kernel tile (ops/pallas/trace.LANES)
+
+
+@functools.lru_cache(maxsize=16)
+def _tile_perm(width: int, height: int):
+    """Pixel permutation grouping each run of WAVEFRONT_TILE rays into a
+    spatially compact tile (e.g. 8 rows x 128 cols at 1080p) instead of a
+    scanline strip — 3-4x fewer visible accel chunks per kernel tile.
+    Returns (perm, inv_perm) numpy arrays, or (None, None) when no tiling
+    divides the image.
+    """
+    for th in (32, 16, 8, 4, 2):
+        tw = WAVEFRONT_TILE // th
+        if height % th == 0 and width % tw == 0:
+            idx = np.arange(height * width).reshape(height, width)
+            perm = (idx.reshape(height // th, th, width // tw, tw)
+                    .transpose(0, 2, 1, 3).reshape(-1))
+            inv = np.empty_like(perm)
+            inv[perm] = np.arange(perm.size)
+            return perm, inv
+    return None, None
 
 
 def render_buffer(scene: Scene, camera: Camera, cfg: RenderConfig,
@@ -22,7 +45,11 @@ def render_buffer(scene: Scene, camera: Camera, cfg: RenderConfig,
     """Render to a flat (H*W, 3) linear color buffer (unclamped)."""
     ro = camera.ray_origins()
     rd = camera.ray_directions()
-    return trace_wavefront(scene, ro, rd, cfg, branching=branching)
+    perm, inv = _tile_perm(camera.width, camera.height)
+    if perm is not None:
+        ro, rd = ro[perm], rd[perm]
+    buf = trace_wavefront(scene, ro, rd, cfg, branching=branching)
+    return buf[inv] if perm is not None else buf
 
 
 def render_image(scene: Scene, camera: Camera, cfg: RenderConfig,
@@ -43,7 +70,12 @@ def render_with_stats(scene: Scene, camera: Camera, cfg: RenderConfig,
     """
     ro = camera.ray_origins()
     rd = camera.ray_directions()
+    perm, inv = _tile_perm(camera.width, camera.height)
+    if perm is not None:
+        ro, rd = ro[perm], rd[perm]
     accum, nrays = trace_wavefront(scene, ro, rd, cfg, branching=branching, with_stats=True)
+    if perm is not None:
+        accum = accum[inv]
     img = jnp.clip(image_from_buffer(accum, camera), 0.0, 1.0)
     return img, nrays
 
