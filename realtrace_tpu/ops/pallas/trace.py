@@ -79,8 +79,10 @@ def _features(ro: Array, rd: Array) -> Array:
     return jnp.concatenate([one, ro, rd, q, inv, pad], axis=-1)
 
 
-def _kernel(meta_ref, mask_ref, feat_ref, b_ref, out_t_ref, out_i_ref, *,
-            num_chunks: int, chunk_size: int, det_eps: float, t_min: float):
+def _kernel(meta_ref, mask_ref, feat_ref, b_ref, out_t_ref, out_i_ref,
+            b_scratch, dma_sem, *,
+            num_chunks: int, chunk_size: int, det_eps: float, t_min: float,
+            any_mode: bool = False):
     """One grid step = one tile of LANES rays vs all chunks.
 
     ``mask_ref`` is the tile's precomputed chunk-visibility mask (computed
@@ -96,6 +98,9 @@ def _kernel(meta_ref, mask_ref, feat_ref, b_ref, out_t_ref, out_i_ref, *,
         best_t, best_i = carry                       # (1, LANES) f32 / i32
         gx, gy, gz = meta_ref[m, 0], meta_ref[m, 1], meta_ref[m, 2]
         anyhit = mask_ref[0, 0, m] > 0
+        if any_mode:
+            # occlusion query: stop doing work once every lane is occluded
+            anyhit &= jnp.any(best_i < 0)
 
         def chunk_hit(carry):
             best_t, best_i = carry
@@ -111,7 +116,12 @@ def _kernel(meta_ref, mask_ref, feat_ref, b_ref, out_t_ref, out_i_ref, *,
                 a[7:8] - cqx, a[8:9] - cqy, a[9:10] - cqz,
                 a[10:FEAT],
             ], axis=0)                               # (FEAT, LANES)
-            bm = b_ref[m]                            # (4C, FEAT)
+            # triangle constants live in HBM (no VMEM residency limit on
+            # scene size); DMA just this chunk's (4C, FEAT) slice in
+            dma = pltpu.make_async_copy(b_ref.at[m], b_scratch, dma_sem)
+            dma.start()
+            dma.wait()
+            bm = b_scratch[:]                        # (4C, FEAT)
             # HIGHEST precision: the default TPU matmul is bf16-pass based,
             # whose 8-bit mantissa misclassifies grazing hits
             p = jnp.dot(bm, a2, preferred_element_type=jnp.float32,
@@ -129,6 +139,8 @@ def _kernel(meta_ref, mask_ref, feat_ref, b_ref, out_t_ref, out_i_ref, *,
             tmin = jnp.min(tm, axis=0, keepdims=True)
             amin = jnp.argmin(tm, axis=0, keepdims=True).astype(jnp.int32)
             upd = tmin < best_t
+            if any_mode:
+                upd &= best_i < 0                    # first hit wins; no nearest needed
             return (jnp.where(upd, tmin, best_t),
                     jnp.where(upd, m * c + amin, best_i))
 
@@ -141,13 +153,14 @@ def _kernel(meta_ref, mask_ref, feat_ref, b_ref, out_t_ref, out_i_ref, *,
     out_i_ref[0] = best_i
 
 
-@functools.partial(jax.jit, static_argnames=("chunk_size", "det_eps", "t_min", "interpret"))
+@functools.partial(jax.jit, static_argnames=("chunk_size", "det_eps", "t_min",
+                                             "interpret", "any_mode"))
 def _sweep(meta, mask, feat, b, chunk_size: int, det_eps: float, t_min: float,
-           interpret: bool):
+           interpret: bool, any_mode: bool = False):
     nt = feat.shape[0]
     m = b.shape[0]
     kern = functools.partial(_kernel, num_chunks=m, chunk_size=chunk_size,
-                             det_eps=det_eps, t_min=t_min)
+                             det_eps=det_eps, t_min=t_min, any_mode=any_mode)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nt,),
@@ -156,7 +169,11 @@ def _sweep(meta, mask, feat, b, chunk_size: int, det_eps: float, t_min: float,
             # trailing block dims equal the array dims per the tiling rule)
             pl.BlockSpec((1, 1, m), lambda i, *_: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, FEAT, LANES), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((m, 4 * chunk_size, FEAT), lambda i, *_: (0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # tri consts stay in HBM
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((4 * chunk_size, FEAT), jnp.float32),
+            pltpu.SemaphoreType.DMA,
         ],
         out_specs=[
             # trailing dims equal the array dims (1, LANES) — required by the
@@ -212,9 +229,12 @@ def _chunk_mask(ro, rd, lo, hi, nt):
     return mask.astype(jnp.int32)[:, None, :]
 
 
-def closest_triangle(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig):
+def closest_triangle(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
+                     any_mode: bool = False):
     """accel-API entry: nearest triangle (t, original_index) via the Pallas
-    chunk sweep. Forward-only (callers stop gradients)."""
+    chunk sweep. Forward-only (callers stop gradients). ``any_mode`` turns the
+    query into first-hit occlusion (shadow rays): no nearest-hit ordering and
+    chunks are skipped once every lane is occluded."""
     perm = scene.tri_chunk_perm
     if perm is None:
         raise ValueError("scene has no chunk permutation; call accel.with_chunks(scene, cfg)")
@@ -240,7 +260,7 @@ def closest_triangle(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig):
 
     interpret = jax.default_backend() == "cpu"
     t, idx = _sweep(meta, mask, feat, b, c, float(cfg.det_epsilon),
-                    float(cfg.smallest_dist), interpret)
+                    float(cfg.smallest_dist), interpret, any_mode)
     t = t.reshape(-1)[:r].astype(ro.dtype)
     idx = idx.reshape(-1)[:r]
     orig = jnp.where(idx >= 0, perm[jnp.maximum(idx, 0)], -1)
@@ -248,5 +268,5 @@ def closest_triangle(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig):
 
 
 def any_triangle(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig) -> Array:
-    t, idx = closest_triangle(scene, ro, rd, cfg)
+    t, idx = closest_triangle(scene, ro, rd, cfg, any_mode=True)
     return idx >= 0
