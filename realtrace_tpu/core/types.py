@@ -23,6 +23,9 @@ from jax import Array
 SMALLEST_DIST = 1e-4  # min-t cutoff; Serial/ray.h:10
 DET_EPSILON = 1e-7    # degenerate-triangle determinant cutoff; Serial/triangle.h:12
 RECURSION_DEPTH = 10  # Serial/world.h:11
+# Dead wavefront lanes are "parked" at this origin (far outside any scene);
+# accel paths recognize the sentinel and assign such lanes zero work.
+PARK_DISTANCE = 1e8
 
 
 @struct.dataclass

@@ -33,7 +33,7 @@ from jax import Array, lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from realtrace_tpu.core.types import RenderConfig, Scene
+from realtrace_tpu.core.types import PARK_DISTANCE, RenderConfig, Scene
 from realtrace_tpu.ops.intersect import BIG
 
 LANES = 1024          # rays per kernel invocation (8 sublanes x 128 lanes worth)
@@ -208,8 +208,13 @@ def _chunk_mask(ro, rd, lo, hi, nt):
     inv = jnp.where(rd != 0.0, 1.0 / jnp.where(rd != 0.0, rd, 1.0), BIG)
     ro_t = ro.reshape(nt, LANES, 3)
     inv_t = inv.reshape(nt, LANES, 3)
-    ro_lo, ro_hi = ro_t.min(1)[:, None], ro_t.max(1)[:, None]      # (nt,1,3)
-    inv_lo, inv_hi = inv_t.min(1)[:, None], inv_t.max(1)[:, None]
+    # parked (dead) lanes must not widen the tile intervals
+    live = (ro_t[..., 0] != PARK_DISTANCE)[..., None]              # (nt,LANES,1)
+    ro_lo = jnp.where(live, ro_t, BIG).min(1)[:, None]             # (nt,1,3)
+    ro_hi = jnp.where(live, ro_t, -BIG).max(1)[:, None]
+    inv_lo = jnp.where(live, inv_t, BIG).min(1)[:, None]
+    inv_hi = jnp.where(live, inv_t, -BIG).max(1)[:, None]
+    tile_live = jnp.any(live[..., 0], axis=1)                      # (nt,)
 
     def plane_interval(p):
         # interval for (p - ro) * inv, p: (M,3)
@@ -225,7 +230,7 @@ def _chunk_mask(ro, rd, lo, hi, nt):
     far_hi = jnp.maximum(ta_hi, tb_hi)       # upper bound of max(ta, tb)
     tn_lo = near_lo.max(-1)                  # (nt, M)
     tf_hi = far_hi.min(-1)
-    mask = tf_hi >= jnp.maximum(tn_lo, 0.0)
+    mask = (tf_hi >= jnp.maximum(tn_lo, 0.0)) & tile_live[:, None]
     return mask.astype(jnp.int32)[:, None, :]
 
 
@@ -251,8 +256,11 @@ def closest_triangle(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
 
     r = ro.shape[0]
     pad = (-r) % LANES
-    ro32 = jnp.concatenate([ro.astype(f32), jnp.zeros((pad, 3), f32)]) if pad else ro.astype(f32)
-    rd32 = jnp.concatenate([rd.astype(f32), jnp.ones((pad, 3), f32)]) if pad else rd.astype(f32)
+    if pad:  # padding lanes are parked (zero accel work)
+        ro32 = jnp.concatenate([ro.astype(f32), jnp.full((pad, 3), PARK_DISTANCE, f32)])
+        rd32 = jnp.concatenate([rd.astype(f32), jnp.ones((pad, 3), f32)])
+    else:
+        ro32, rd32 = ro.astype(f32), rd.astype(f32)
     feat = _features(ro32, rd32)                              # (R', FEAT)
     nt = feat.shape[0] // LANES
     mask = _chunk_mask(ro32, rd32, lo, hi, nt)                # (nt, M)

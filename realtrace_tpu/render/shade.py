@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from jax import Array, lax
 
 from realtrace_tpu.core import vec
-from realtrace_tpu.core.types import RenderConfig, Scene
+from realtrace_tpu.core.types import PARK_DISTANCE, RenderConfig, Scene
 from realtrace_tpu.ops.intersect import Hit, any_hit, closest_hit
 
 
@@ -57,7 +57,18 @@ def light_shade(position: Array, normal: Array, view: Array, color: Array,
     return jnp.sum(out, axis=1)                            # (R,3)
 
 
-def shadow_mask(scene: Scene, hit_pos: Array, cfg: RenderConfig) -> Array:
+def _park_dead(ro: Array, rd: Array, live: Array) -> tuple[Array, Array]:
+    """Replace dead lanes' rays with a guaranteed-miss ray far outside the
+    scene, pointing away. The wavefront stays dense (no compaction — SURVEY
+    §7 hard part (b)) but the accel's chunk-visibility mask then assigns dead
+    lanes zero intersection work."""
+    park_o = jnp.full_like(ro, PARK_DISTANCE)
+    park_d = jnp.zeros_like(rd).at[..., 0].set(1.0)
+    return (jnp.where(live[:, None], ro, park_o),
+            jnp.where(live[:, None], rd, park_d))
+
+
+def shadow_mask(scene: Scene, hit_pos: Array, live: Array, cfg: RenderConfig) -> Array:
     """True where ANY light's shadow ray is occluded.
 
     Ref: Serial/world.cpp:42-51 — shadow ray origin is offset by
@@ -70,21 +81,28 @@ def shadow_mask(scene: Scene, hit_pos: Array, cfg: RenderConfig) -> Array:
         to_light = lp[l][None, :] - hit_pos
         origin = hit_pos + cfg.shadow_origin_bias * to_light
         direction = vec.normalize(to_light)
+        origin, direction = _park_dead(origin, direction, live)
         occ |= any_hit(scene, origin, direction, cfg)
     return occ
 
 
-def local_color(scene: Scene, hit: Hit, rd: Array, cfg: RenderConfig) -> Array:
+def local_color(scene: Scene, hit: Hit, rd: Array, cfg: RenderConfig,
+                live: Array | None = None) -> Array:
     """Direct (local) shade at a hit: Phong + ambient, with the reference's
     shadow blend ``final*1e-4 + shadowColor*(1-1e-4)``.
 
+    ``live`` marks lanes whose result is actually used — dead lanes' shadow
+    rays are parked (zero accel work), their output is masked by the caller.
     Ref: Serial/world.cpp:40-63.
     """
+    if live is None:
+        live = hit.valid
     lc = light_shade(hit.position, hit.normal, rd, hit.color, hit.kd, hit.ks, scene, cfg)
     amb = scene.ambient[None, :] * hit.color * hit.ka[:, None]
     lc = lc + amb
     if cfg.shadows and scene.lights.position.shape[0]:
-        sh = shadow_mask(scene, lax.stop_gradient(hit.position), cfg)
+        sh = shadow_mask(scene, lax.stop_gradient(hit.position),
+                         lax.stop_gradient(live), cfg)
         b = cfg.shadow_blend
         lc = jnp.where(sh[:, None], lc * b + amb * (1.0 - b), lc)
     return lc
@@ -109,7 +127,7 @@ def _children(scene: Scene, hit: Hit, ro: Array, rd: Array, coeff: Array, cfg: R
     is_diel = valid & (hit.kr > 0.0) & (hit.kt > 0.0)
     is_refl = valid & (hit.kr > 0.0) & ~is_diel
 
-    lc = local_color(scene, hit, rd, cfg)
+    lc = local_color(scene, hit, rd, cfg, live=valid)
     # miss → background; dielectric → no local term (Serial/world.cpp:100 returns children only)
     contrib = jnp.where(valid[:, None] & ~is_diel[:, None], coeff * lc, 0.0)
     contrib = contrib + jnp.where((active & ~hit.valid)[:, None], coeff * scene.background[None], 0.0)
@@ -147,6 +165,10 @@ def _children(scene: Scene, hit: Hit, ro: Array, rd: Array, coeff: Array, cfg: R
     coeff_r = coeff * w_reflect[:, None] * jnp.where(is_diel[:, None], k, 1.0)
     coeff_t = coeff * jnp.where((is_diel & t_ok & ~tir_exit)[:, None],
                                 k * (1.0 - fres[:, None]), 0.0)
+    # park rays whose continuation carries no energy — zero accel work for
+    # dead lanes at the next level
+    ro_r, rd_r = _park_dead(ro_r, rd_r, jnp.any(lax.stop_gradient(coeff_r) > 0.0, axis=-1))
+    ro_t, rd_t = _park_dead(ro_t, rd_t, jnp.any(lax.stop_gradient(coeff_t) > 0.0, axis=-1))
     return contrib, (ro_r, rd_r, coeff_r), (ro_t, rd_t, coeff_t)
 
 
