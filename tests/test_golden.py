@@ -84,3 +84,21 @@ def test_deep_recursion_background_termination():
     scene = b.build()
     cam = dict(position=(0, 3, 18), target=(0, 2, 0), up=(0, 1, 0), fovy=45)
     run_case(scene, cam, RenderConfig(max_depth=10), 24, 24)
+
+
+def test_bob_textured_with_accel(reference_assets):
+    """BASELINE config 3 (scaled down): bob + texture, chunk accel, depth-2.
+    Exercises the OBJ/texture pipeline + acceleration + wavefront against the
+    recursive oracle in one go."""
+    import dataclasses
+
+    from realtrace_tpu.ops import accel
+
+    cfg = RenderConfig(max_depth=2, accel="chunked", chunk_size=64,
+                       shortlist=32, ray_block=256)
+    scene, cam = scenes.serial_obj_scene(
+        reference_assets / "bob_tri.obj",
+        texture_path=reference_assets / "bob_diffuse.png",
+        dtype=DT, max_faces=2000)
+    scene = accel.with_chunks(scene, cfg)
+    run_case(scene, cam, cfg, 40, 30)
