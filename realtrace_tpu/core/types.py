@@ -243,3 +243,4 @@ class RenderConfig:
     chunk_size: int = 64                   # triangles per chunk for the sweep accel
     shortlist: int = 48                    # chunks tested per ray block (XLA chunked path)
     ray_block: int = 2048                  # rays per lax.map block in XLA paths
+    matmul_precision: str = "highest"      # pallas triangle-test MXU precision

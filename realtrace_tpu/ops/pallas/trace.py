@@ -79,31 +79,46 @@ def _features(ro: Array, rd: Array) -> Array:
     return jnp.concatenate([one, ro, rd, q, inv, pad], axis=-1)
 
 
-def _kernel(meta_ref, mask_ref, feat_ref, b_ref, out_t_ref, out_i_ref,
-            b_scratch, dma_sem, *,
+def _kernel(meta_ref, list_ref, count_ref, feat_ref, b_ref, out_t_ref, out_i_ref,
+            b_scratch, dma_sems, *,
             num_chunks: int, chunk_size: int, det_eps: float, t_min: float,
-            any_mode: bool = False):
-    """One grid step = one tile of LANES rays vs all chunks.
+            any_mode: bool = False, precision=None):
+    """One grid step = one tile of LANES rays vs its visible chunks.
 
-    ``mask_ref`` is the tile's precomputed chunk-visibility mask (computed
-    vectorized in XLA outside the kernel): the miss path per chunk is a
-    scalar SMEM read + branch instead of a 40-op slab test, which is what
-    makes the sequential chunk sweep cheap when most chunks are invisible.
+    ``list_ref``/``count_ref`` hold the tile's COMPACTED visible-chunk list
+    (computed vectorized in XLA outside the kernel): the loop runs only over
+    chunks the tile's ray bundle can possibly hit (typically ~5 of hundreds).
+    Chunk triangle constants stream from HBM with double-buffered DMA so the
+    next chunk's transfer overlaps the current chunk's MXU matmul.
     """
     c = chunk_size
     a = feat_ref[0]                                  # (FEAT, LANES)
     rdx, rdy, rdz = a[4:5], a[5:6], a[6:7]           # (1, LANES) rows
+    n = count_ref[0, 0, 0]
 
-    def body(m, carry):
+    def start_fetch(j, slot):
+        @pl.when(j < n)
+        def _():
+            m = list_ref[0, 0, j]
+            pltpu.make_async_copy(b_ref.at[m], b_scratch.at[slot],
+                                  dma_sems.at[slot]).start()
+
+    start_fetch(0, 0)
+
+    def body(j, carry):
         best_t, best_i = carry                       # (1, LANES) f32 / i32
-        gx, gy, gz = meta_ref[m, 0], meta_ref[m, 1], meta_ref[m, 2]
-        anyhit = mask_ref[0, 0, m] > 0
-        if any_mode:
-            # occlusion query: stop doing work once every lane is occluded
-            anyhit &= jnp.any(best_i < 0)
+        two = jnp.asarray(2, j.dtype)
+        slot = lax.rem(j, two)
+        m = list_ref[0, 0, j]
+        start_fetch(j + 1, lax.rem(j + 1, two))      # prefetch next chunk
+        pltpu.make_async_copy(b_ref.at[m], b_scratch.at[slot],
+                              dma_sems.at[slot]).wait()
+
+        run = jnp.any(best_i < 0) if any_mode else True
 
         def chunk_hit(carry):
             best_t, best_i = carry
+            gx, gy, gz = meta_ref[m, 0], meta_ref[m, 1], meta_ref[m, 2]
             # re-center features on the chunk centroid: ro' = ro - G,
             # q' = q - rd x G  (translation-invariant determinants)
             cqx = rdy * gz - rdz * gy
@@ -116,16 +131,11 @@ def _kernel(meta_ref, mask_ref, feat_ref, b_ref, out_t_ref, out_i_ref,
                 a[7:8] - cqx, a[8:9] - cqy, a[9:10] - cqz,
                 a[10:FEAT],
             ], axis=0)                               # (FEAT, LANES)
-            # triangle constants live in HBM (no VMEM residency limit on
-            # scene size); DMA just this chunk's (4C, FEAT) slice in
-            dma = pltpu.make_async_copy(b_ref.at[m], b_scratch, dma_sem)
-            dma.start()
-            dma.wait()
-            bm = b_scratch[:]                        # (4C, FEAT)
-            # HIGHEST precision: the default TPU matmul is bf16-pass based,
+            bm = b_scratch[slot]                     # (4C, FEAT)
+            # >= HIGH precision: the default TPU matmul is single-pass bf16,
             # whose 8-bit mantissa misclassifies grazing hits
             p = jnp.dot(bm, a2, preferred_element_type=jnp.float32,
-                        precision=lax.Precision.HIGHEST)  # (4C, LANES)
+                        precision=precision)         # (4C, LANES)
             det, tnum = p[0:c], p[c:2 * c]
             bnum, gnum = p[2 * c:3 * c], p[3 * c:4 * c]
             ok = jnp.abs(det) >= det_eps
@@ -144,40 +154,47 @@ def _kernel(meta_ref, mask_ref, feat_ref, b_ref, out_t_ref, out_i_ref,
             return (jnp.where(upd, tmin, best_t),
                     jnp.where(upd, m * c + amin, best_i))
 
-        return lax.cond(anyhit, chunk_hit, lambda s: s, (best_t, best_i))
+        if any_mode:
+            return lax.cond(run, chunk_hit, lambda s: s, (best_t, best_i))
+        return chunk_hit((best_t, best_i))
 
     init = (jnp.full((1, LANES), BIG, jnp.float32),
             jnp.full((1, LANES), -1, jnp.int32))
-    best_t, best_i = lax.fori_loop(0, num_chunks, body, init)
+    best_t, best_i = lax.fori_loop(0, n, body, init)
     out_t_ref[0] = best_t
     out_i_ref[0] = best_i
 
 
+_PRECISIONS = {"default": lax.Precision.DEFAULT, "high": lax.Precision.HIGH,
+               "highest": lax.Precision.HIGHEST}
+
+
 @functools.partial(jax.jit, static_argnames=("chunk_size", "det_eps", "t_min",
-                                             "interpret", "any_mode"))
-def _sweep(meta, mask, feat, b, chunk_size: int, det_eps: float, t_min: float,
-           interpret: bool, any_mode: bool = False):
+                                             "interpret", "any_mode", "precision"))
+def _sweep(meta, chunk_list, counts, feat, b, chunk_size: int, det_eps: float,
+           t_min: float, interpret: bool, any_mode: bool = False,
+           precision: str = "highest"):
     nt = feat.shape[0]
     m = b.shape[0]
     kern = functools.partial(_kernel, num_chunks=m, chunk_size=chunk_size,
-                             det_eps=det_eps, t_min=t_min, any_mode=any_mode)
+                             det_eps=det_eps, t_min=t_min, any_mode=any_mode,
+                             precision=_PRECISIONS[precision])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nt,),
         in_specs=[
-            # per-tile chunk-visibility mask, scalar-readable (3D so the
-            # trailing block dims equal the array dims per the tiling rule)
+            # per-tile compacted visible-chunk list + count, scalar-readable
+            # (3D so the trailing block dims equal the array dims)
             pl.BlockSpec((1, 1, m), lambda i, *_: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, FEAT, LANES), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),   # tri consts stay in HBM
         ],
         scratch_shapes=[
-            pltpu.VMEM((4 * chunk_size, FEAT), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, 4 * chunk_size, FEAT), jnp.float32),  # double buffer
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         out_specs=[
-            # trailing dims equal the array dims (1, LANES) — required by the
-            # TPU block-shape tiling rule when the grid dim leads
             pl.BlockSpec((1, 1, LANES), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, 1, LANES), lambda i, *_: (i, 0, 0)),
         ],
@@ -190,7 +207,7 @@ def _sweep(meta, mask, feat, b, chunk_size: int, det_eps: float, t_min: float,
             jax.ShapeDtypeStruct((nt, 1, LANES), jnp.int32),
         ],
         interpret=interpret,
-    )(meta, mask, feat, b)
+    )(meta, chunk_list, counts, feat, b)
     return t.reshape(nt, LANES), idx.reshape(nt, LANES)
 
 
@@ -199,11 +216,14 @@ def _chunk_mask(ro, rd, lo, hi, nt):
 
     Instead of slab-testing every ray x chunk (an (R, M, 3) blow-up), bound
     each tile's rays by [ro_min, ro_max] x [inv_min, inv_max] intervals and
-    interval-evaluate the slab test per (tile, chunk): optimistic entry bound
-    tn_lo vs pessimistic... optimistic exit bound tf_hi. Never excludes a
-    chunk any tile ray could hit (exactness comes from the in-kernel test);
+    interval-evaluate the slab test per (tile, chunk) with optimistic entry
+    bound tn_lo and optimistic exit bound tf_hi. Never excludes a chunk any
+    tile ray could hit (exactness comes from the in-kernel test);
     sign-straddling direction components widen inv to ±BIG and degrade to
-    "include everything" for that tile. O(nt * M) work. Returns (nt,1,M) i32.
+    "include everything" for that tile. O(nt * M) work.
+
+    Returns the COMPACTED visible-chunk lists: (chunk_list (nt,1,M) i32 with
+    visible ids first in ascending order, counts (nt,1,1) i32).
     """
     inv = jnp.where(rd != 0.0, 1.0 / jnp.where(rd != 0.0, rd, 1.0), BIG)
     ro_t = ro.reshape(nt, LANES, 3)
@@ -231,7 +251,10 @@ def _chunk_mask(ro, rd, lo, hi, nt):
     tn_lo = near_lo.max(-1)                  # (nt, M)
     tf_hi = far_hi.min(-1)
     mask = (tf_hi >= jnp.maximum(tn_lo, 0.0)) & tile_live[:, None]
-    return mask.astype(jnp.int32)[:, None, :]
+    # compact: visible chunk ids first (ascending), then the invisible ones
+    order = jnp.argsort(jnp.where(mask, 0, 1), axis=1, stable=True).astype(jnp.int32)
+    counts = jnp.sum(mask, axis=1, dtype=jnp.int32)
+    return order[:, None, :], counts[:, None, None]
 
 
 def closest_triangle(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
@@ -263,12 +286,13 @@ def closest_triangle(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
         ro32, rd32 = ro.astype(f32), rd.astype(f32)
     feat = _features(ro32, rd32)                              # (R', FEAT)
     nt = feat.shape[0] // LANES
-    mask = _chunk_mask(ro32, rd32, lo, hi, nt)                # (nt, M)
+    chunk_list, counts = _chunk_mask(ro32, rd32, lo, hi, nt)
     feat = feat.reshape(nt, LANES, FEAT).transpose(0, 2, 1)   # (nt, FEAT, LANES)
 
     interpret = jax.default_backend() == "cpu"
-    t, idx = _sweep(meta, mask, feat, b, c, float(cfg.det_epsilon),
-                    float(cfg.smallest_dist), interpret, any_mode)
+    t, idx = _sweep(meta, chunk_list, counts, feat, b, c, float(cfg.det_epsilon),
+                    float(cfg.smallest_dist), interpret, any_mode,
+                    cfg.matmul_precision)
     t = t.reshape(-1)[:r].astype(ro.dtype)
     idx = idx.reshape(-1)[:r]
     orig = jnp.where(idx >= 0, perm[jnp.maximum(idx, 0)], -1)
