@@ -46,13 +46,19 @@ def main() -> None:
     def frame(scene, camera):
         return render_with_stats(scene, camera, cfg, branching=False)
 
+    import sys
+    t0 = time.perf_counter()
     img, nrays = frame(scene, camera)       # compile + warm-up
     jax.block_until_ready(img)
+    print(f"[bench] compile+first frame: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     for _ in range(repeats):
         img, nrays = frame(scene, camera)
     jax.block_until_ready(img)
     dt = (time.perf_counter() - t0) / repeats
+    print(f"[bench] steady frame: {dt*1e3:.1f} ms, rays/frame: {float(nrays)/1e6:.2f}M",
+          file=sys.stderr, flush=True)
     mrays = float(nrays) / dt / 1e6
 
     print(json.dumps({

@@ -11,13 +11,17 @@ Parellel/structures.cu:237-320 / :115-135). Design:
     reference triangle test (Serial/triangle.cpp:10-24) are LINEAR in the
     per-ray feature vector f = [1, ro, rd, rd x ro] — so one chunk of C
     triangles is tested against 1024 rays with ONE MXU matmul
-    (4C, 16) @ (16, 1024);
-  * chunks are skipped at block level with ``pl.when`` when no ray's slab
-    test hits the chunk AABB (real work skipping — the TPU analog of the DDA
-    early-out, Serial/uniform-grid.cpp:251);
+    (4C, FEAT) @ (FEAT, 1024);
+  * each ray tile loops only over its COMPACTED visible-chunk list, computed
+    vectorized in XLA by a conservative interval-arithmetic slab test (the
+    TPU analog of the DDA early-out, Serial/uniform-grid.cpp:251);
   * triangle constants are stored relative to each chunk's centroid and the
     feature vector is re-centered per chunk in-kernel, keeping the f32
-    cancellation error at chunk scale instead of scene scale.
+    cancellation error at chunk scale instead of scene scale;
+  * triangle constants live VMEM-resident (loaded once into persistent
+    scratch at grid step 0, full-lane (FEAT, M*4C) layout) for scenes up to
+    ~25k triangles; bigger scenes stream per-chunk constants from HBM with
+    double-buffered DMA.
 
 The kernel is forward-only (t, index); differentiable hit attributes are
 recomputed outside (ops/intersect.closest_hit).
@@ -38,16 +42,17 @@ from realtrace_tpu.ops.intersect import BIG
 
 LANES = 1024          # rays per kernel invocation (8 sublanes x 128 lanes worth)
 FEAT = 16             # feature rows: [1, ro(3), rd(3), q(3), inv(3), pad(3)]
+FEAT_PAD = 128        # K pad for the streaming path's DMA alignment
+RESIDENT_LIMIT = 6 * 1024 * 1024  # max B bytes kept VMEM-resident
 
 
 def _pack_tri_consts(tvc: Array, centroid: Array) -> Array:
     """Per-triangle linear-test constants, chunk-centroid-relative.
 
     tvc: (M, C, 3, 3) sorted triangle vertices; centroid: (M, 3).
-    Returns B: (M, 4C, FEAT) with column groups [det | t_num | beta_num |
+    Returns B: (M, 4C, FEAT) with row groups [det | t_num | beta_num |
     gamma_num] as linear forms over f = [1, ro-G, rd, rd x (ro-G), inv, pad].
     """
-    m, c = tvc.shape[0], tvc.shape[1]
     a = tvc[:, :, 0] - centroid[:, None, :]     # (M, C, 3) A' = A - G
     e1 = (tvc[:, :, 0] - tvc[:, :, 1])          # A - B
     e2 = (tvc[:, :, 0] - tvc[:, :, 2])          # A - C
@@ -71,91 +76,92 @@ def _pack_tri_consts(tvc: Array, centroid: Array) -> Array:
 
 
 def _features(ro: Array, rd: Array) -> Array:
-    """Per-ray features (R, FEAT): [1, ro, rd, rd x ro, 1/rd, pad]."""
+    """Per-ray features, TRANSPOSED layout (FEAT, R): rows
+    [1, ro, rd, rd x ro, 1/rd, pad]. Built row-major so the kernel's
+    (FEAT, LANES) blocks are plain column slices — no relayout."""
     q = jnp.cross(rd, ro)
     inv = jnp.where(rd != 0.0, 1.0 / jnp.where(rd != 0.0, rd, 1.0), BIG)
     one = jnp.ones((ro.shape[0], 1), ro.dtype)
     pad = jnp.zeros((ro.shape[0], FEAT - 13), ro.dtype)
-    return jnp.concatenate([one, ro, rd, q, inv, pad], axis=-1)
+    # ONE (R,16)->(16,R) relayout instead of four narrow transposes
+    return jnp.concatenate([one, ro, rd, q, inv, pad], axis=1).T
 
 
-def _kernel(meta_ref, list_ref, count_ref, feat_ref, b_ref, out_t_ref, out_i_ref,
-            b_scratch, dma_sems, *,
-            num_chunks: int, chunk_size: int, det_eps: float, t_min: float,
-            any_mode: bool = False, precision=None):
-    """One grid step = one tile of LANES rays vs its visible chunks.
+def _recenter(a, a2_scratch, m, meta_ref):
+    """Write the chunk-centroid-recentered feature rows into a2_scratch:
+    ro' = ro - G; q' = q - rd x G (translation-invariant determinants)."""
+    gx, gy, gz = meta_ref[m, 0], meta_ref[m, 1], meta_ref[m, 2]
+    rdx, rdy, rdz = a[4:5], a[5:6], a[6:7]
+    a2_scratch[1:2] = a[1:2] - gx
+    a2_scratch[2:3] = a[2:3] - gy
+    a2_scratch[3:4] = a[3:4] - gz
+    a2_scratch[7:8] = a[7:8] - (rdy * gz - rdz * gy)
+    a2_scratch[8:9] = a[8:9] - (rdz * gx - rdx * gz)
+    a2_scratch[9:10] = a[9:10] - (rdx * gy - rdy * gx)
 
-    ``list_ref``/``count_ref`` hold the tile's COMPACTED visible-chunk list
-    (computed vectorized in XLA outside the kernel): the loop runs only over
-    chunks the tile's ray bundle can possibly hit (typically ~5 of hundreds).
-    Chunk triangle constants stream from HBM with double-buffered DMA so the
-    next chunk's transfer overlaps the current chunk's MXU matmul.
-    """
+
+def _reduce_update(p, best_t, best_i, m, c, det_eps, t_min, any_mode):
+    """Shared epilogue: validity test + per-ray nearest-hit update from the
+    matmul result p (4C, LANES)."""
+    det, tnum = p[0:c], p[c:2 * c]
+    bnum, gnum = p[2 * c:3 * c], p[3 * c:4 * c]
+    ok = jnp.abs(det) >= det_eps
+    invd = 1.0 / jnp.where(ok, det, 1.0)
+    t = tnum * invd
+    beta = bnum * invd
+    gamma = gnum * invd
+    valid = (ok & (beta > 0.0) & (gamma > 0.0) & (beta + gamma < 1.0)
+             & (t > t_min) & (t < best_t))
+    tm = jnp.where(valid, t, BIG)            # (C, LANES)
+    tmin = jnp.min(tm, axis=0, keepdims=True)
+    amin = jnp.argmin(tm, axis=0, keepdims=True).astype(jnp.int32)
+    upd = tmin < best_t
+    if any_mode:
+        upd &= best_i < 0                    # first hit wins; no nearest needed
+    return (jnp.where(upd, tmin, best_t),
+            jnp.where(upd, m * c + amin, best_i))
+
+
+def _kernel_resident(meta_ref, list_ref, count_ref, feat_ref, b_ref,
+                     out_t_ref, out_i_ref, b_vmem, a2_scratch, dma_sem, *,
+                     chunk_size: int, det_eps: float, t_min: float,
+                     any_mode: bool, precision):
+    """VMEM-resident variant: the whole constants table (FEAT, M*4C) is DMA'd
+    into persistent scratch once (grid step 0) and lane-sliced per chunk —
+    zero per-chunk HBM traffic. The transposed-LHS contraction is a native
+    MXU mode (the stationary operand loads transposed for free)."""
     c = chunk_size
-    a = feat_ref[0]                                  # (FEAT, LANES)
-    rdx, rdy, rdz = a[4:5], a[5:6], a[6:7]           # (1, LANES) rows
+    fc = 4 * c
+    a = feat_ref[:]                                  # (FEAT, LANES)
     n = count_ref[0, 0, 0]
 
-    def start_fetch(j, slot):
-        @pl.when(j < n)
-        def _():
-            m = list_ref[0, 0, j]
-            pltpu.make_async_copy(b_ref.at[m], b_scratch.at[slot],
-                                  dma_sems.at[slot]).start()
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        cp = pltpu.make_async_copy(b_ref, b_vmem, dma_sem)
+        cp.start()
+        cp.wait()
 
-    start_fetch(0, 0)
+    a2_scratch[0:1] = a[0:1]
+    a2_scratch[4:7] = a[4:7]
+    a2_scratch[10:FEAT] = jnp.zeros((FEAT - 10, LANES), jnp.float32)
 
     def body(j, carry):
-        best_t, best_i = carry                       # (1, LANES) f32 / i32
-        two = jnp.asarray(2, j.dtype)
-        slot = lax.rem(j, two)
+        best_t, best_i = carry
         m = list_ref[0, 0, j]
-        start_fetch(j + 1, lax.rem(j + 1, two))      # prefetch next chunk
-        pltpu.make_async_copy(b_ref.at[m], b_scratch.at[slot],
-                              dma_sems.at[slot]).wait()
-
-        run = jnp.any(best_i < 0) if any_mode else True
+        _recenter(a, a2_scratch, m, meta_ref)
 
         def chunk_hit(carry):
             best_t, best_i = carry
-            gx, gy, gz = meta_ref[m, 0], meta_ref[m, 1], meta_ref[m, 2]
-            # re-center features on the chunk centroid: ro' = ro - G,
-            # q' = q - rd x G  (translation-invariant determinants)
-            cqx = rdy * gz - rdz * gy
-            cqy = rdz * gx - rdx * gz
-            cqz = rdx * gy - rdy * gx
-            a2 = jnp.concatenate([
-                a[0:1],
-                a[1:2] - gx, a[2:3] - gy, a[3:4] - gz,
-                a[4:7],
-                a[7:8] - cqx, a[8:9] - cqy, a[9:10] - cqz,
-                a[10:FEAT],
-            ], axis=0)                               # (FEAT, LANES)
-            bm = b_scratch[slot]                     # (4C, FEAT)
-            # >= HIGH precision: the default TPU matmul is single-pass bf16,
-            # whose 8-bit mantissa misclassifies grazing hits
-            p = jnp.dot(bm, a2, preferred_element_type=jnp.float32,
-                        precision=precision)         # (4C, LANES)
-            det, tnum = p[0:c], p[c:2 * c]
-            bnum, gnum = p[2 * c:3 * c], p[3 * c:4 * c]
-            ok = jnp.abs(det) >= det_eps
-            invd = 1.0 / jnp.where(ok, det, 1.0)
-            t = tnum * invd
-            beta = bnum * invd
-            gamma = gnum * invd
-            valid = (ok & (beta > 0.0) & (gamma > 0.0) & (beta + gamma < 1.0)
-                     & (t > t_min) & (t < best_t))
-            tm = jnp.where(valid, t, BIG)            # (C, LANES)
-            tmin = jnp.min(tm, axis=0, keepdims=True)
-            amin = jnp.argmin(tm, axis=0, keepdims=True).astype(jnp.int32)
-            upd = tmin < best_t
-            if any_mode:
-                upd &= best_i < 0                    # first hit wins; no nearest needed
-            return (jnp.where(upd, tmin, best_t),
-                    jnp.where(upd, m * c + amin, best_i))
+            off = pl.multiple_of(m * fc, fc)
+            bm = b_vmem[:, pl.ds(off, fc)]           # (FEAT, 4C) lane slice
+            p = lax.dot_general(bm, a2_scratch[:], (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=precision)  # (4C, LANES)
+            return _reduce_update(p, best_t, best_i, m, c, det_eps, t_min, any_mode)
 
         if any_mode:
-            return lax.cond(run, chunk_hit, lambda s: s, (best_t, best_i))
+            return lax.cond(jnp.any(best_i < 0), chunk_hit, lambda s: s,
+                            (best_t, best_i))
         return chunk_hit((best_t, best_i))
 
     init = (jnp.full((1, LANES), BIG, jnp.float32),
@@ -165,20 +171,103 @@ def _kernel(meta_ref, list_ref, count_ref, feat_ref, b_ref, out_t_ref, out_i_ref
     out_i_ref[0] = best_i
 
 
+def _kernel_stream(meta_ref, list_ref, count_ref, feat_ref, b_ref,
+                   out_t_ref, out_i_ref, b_scratch, a2_scratch, dma_sems, *,
+                   chunk_size: int, det_eps: float, t_min: float,
+                   any_mode: bool, precision):
+    """Streaming variant for scenes too big for VMEM: per-chunk (4C, FEAT_PAD)
+    constants double-buffer-DMA'd from HBM, prefetch overlapping the matmul."""
+    c = chunk_size
+    a = feat_ref[:]
+    n = count_ref[0, 0, 0]
+
+    a2_scratch[0:1] = a[0:1]
+    a2_scratch[4:7] = a[4:7]
+    # zero the unused K rows once (0 * garbage-NaN would poison the matmul)
+    a2_scratch[10:] = jnp.zeros((FEAT_PAD - 10, LANES), jnp.float32)
+
+    def start_fetch(j, slot):
+        # unconditional (index clamped): one redundant fetch past the end
+        # beats a conditional DMA start
+        jc = jnp.minimum(j, jnp.maximum(n - 1, 0))
+        m = list_ref[0, 0, jc]
+        pltpu.make_async_copy(b_ref.at[m], b_scratch.at[slot],
+                              dma_sems.at[slot]).start()
+
+    @pl.when(n > 0)
+    def _():
+        start_fetch(jnp.asarray(0, n.dtype), jnp.asarray(0, n.dtype))
+
+    def body(j, carry):
+        best_t, best_i = carry
+        two = jnp.asarray(2, j.dtype)
+        slot = lax.rem(j, two)
+        m = list_ref[0, 0, j]
+        start_fetch(j + 1, lax.rem(j + 1, two))      # prefetch next chunk
+        _recenter(a, a2_scratch, m, meta_ref)
+        pltpu.make_async_copy(b_ref.at[m], b_scratch.at[slot],
+                              dma_sems.at[slot]).wait()
+
+        def chunk_hit(carry):
+            best_t, best_i = carry
+            bm = b_scratch[slot]                     # (4C, FEAT_PAD)
+            p = jnp.dot(bm, a2_scratch[:], preferred_element_type=jnp.float32,
+                        precision=precision)         # (4C, LANES)
+            return _reduce_update(p, best_t, best_i, m, c, det_eps, t_min, any_mode)
+
+        if any_mode:
+            return lax.cond(jnp.any(best_i < 0), chunk_hit, lambda s: s,
+                            (best_t, best_i))
+        return chunk_hit((best_t, best_i))
+
+    init = (jnp.full((1, LANES), BIG, jnp.float32),
+            jnp.full((1, LANES), -1, jnp.int32))
+    best_t, best_i = lax.fori_loop(0, n, body, init)
+
+    @pl.when(n > 0)
+    def _():
+        # drain the one outstanding prefetch started by the last iteration
+        jc = jnp.maximum(n - 1, 0)
+        m = list_ref[0, 0, jc]
+        sl = lax.rem(n, jnp.asarray(2, n.dtype))
+        pltpu.make_async_copy(b_ref.at[m], b_scratch.at[sl],
+                              dma_sems.at[sl]).wait()
+
+    out_t_ref[0] = best_t
+    out_i_ref[0] = best_i
+
+
 _PRECISIONS = {"default": lax.Precision.DEFAULT, "high": lax.Precision.HIGH,
                "highest": lax.Precision.HIGHEST}
 
 
 @functools.partial(jax.jit, static_argnames=("chunk_size", "det_eps", "t_min",
-                                             "interpret", "any_mode", "precision"))
+                                             "interpret", "any_mode", "precision",
+                                             "resident"))
 def _sweep(meta, chunk_list, counts, feat, b, chunk_size: int, det_eps: float,
            t_min: float, interpret: bool, any_mode: bool = False,
-           precision: str = "highest"):
-    nt = feat.shape[0]
-    m = b.shape[0]
-    kern = functools.partial(_kernel, num_chunks=m, chunk_size=chunk_size,
-                             det_eps=det_eps, t_min=t_min, any_mode=any_mode,
-                             precision=_PRECISIONS[precision])
+           precision: str = "highest", resident: bool = True):
+    nt = feat.shape[1] // LANES
+    m = chunk_list.shape[-1]
+    fc = 4 * chunk_size
+    if resident:
+        kern = functools.partial(_kernel_resident, chunk_size=chunk_size,
+                                 det_eps=det_eps, t_min=t_min, any_mode=any_mode,
+                                 precision=_PRECISIONS[precision])
+        scratch = [
+            pltpu.VMEM((FEAT, m * fc), jnp.float32),   # persistent B table
+            pltpu.VMEM((FEAT, LANES), jnp.float32),    # recentered features
+            pltpu.SemaphoreType.DMA,
+        ]
+    else:
+        kern = functools.partial(_kernel_stream, chunk_size=chunk_size,
+                                 det_eps=det_eps, t_min=t_min, any_mode=any_mode,
+                                 precision=_PRECISIONS[precision])
+        scratch = [
+            pltpu.VMEM((2, fc, FEAT_PAD), jnp.float32),  # DMA double buffer
+            pltpu.VMEM((FEAT_PAD, LANES), jnp.float32),  # recentered features
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nt,),
@@ -187,13 +276,10 @@ def _sweep(meta, chunk_list, counts, feat, b, chunk_size: int, det_eps: float,
             # (3D so the trailing block dims equal the array dims)
             pl.BlockSpec((1, 1, m), lambda i, *_: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, FEAT, LANES), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((FEAT, LANES), lambda i, *_: (0, i)),
             pl.BlockSpec(memory_space=pltpu.ANY),   # tri consts stay in HBM
         ],
-        scratch_shapes=[
-            pltpu.VMEM((2, 4 * chunk_size, FEAT), jnp.float32),  # double buffer
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
         out_specs=[
             pl.BlockSpec((1, 1, LANES), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, 1, LANES), lambda i, *_: (i, 0, 0)),
@@ -214,13 +300,16 @@ def _sweep(meta, chunk_list, counts, feat, b, chunk_size: int, det_eps: float,
 def _chunk_mask(ro, rd, lo, hi, nt):
     """Conservative per-tile chunk visibility via interval arithmetic.
 
-    Instead of slab-testing every ray x chunk (an (R, M, 3) blow-up), bound
-    each tile's rays by [ro_min, ro_max] x [inv_min, inv_max] intervals and
-    interval-evaluate the slab test per (tile, chunk) with optimistic entry
-    bound tn_lo and optimistic exit bound tf_hi. Never excludes a chunk any
-    tile ray could hit (exactness comes from the in-kernel test);
-    sign-straddling direction components widen inv to ±BIG and degrade to
-    "include everything" for that tile. O(nt * M) work.
+    Bound each tile's rays by [ro_min, ro_max] x [inv_min, inv_max] intervals
+    and interval-evaluate the slab test per (tile, chunk): optimistic entry
+    bound tn_lo vs optimistic exit bound tf_hi. Never excludes a chunk any
+    tile ray could hit (exactness comes from the in-kernel test). O(nt * M)
+    fully-vectorized work — no (rays x chunks) blow-up.
+
+    Tightness relies on the pipeline's tile-major pixel order: on compact
+    8x128 pixel tiles at 1080p this admits a mean ~1.8 chunks/tile vs ~1.4
+    for the exact per-ray test, at ~1% of its cost (scanline strips would be
+    ~45x looser). Parked (dead) lanes are excluded from the intervals.
 
     Returns the COMPACTED visible-chunk lists: (chunk_list (nt,1,M) i32 with
     visible ids first in ascending order, counts (nt,1,1) i32).
@@ -228,7 +317,6 @@ def _chunk_mask(ro, rd, lo, hi, nt):
     inv = jnp.where(rd != 0.0, 1.0 / jnp.where(rd != 0.0, rd, 1.0), BIG)
     ro_t = ro.reshape(nt, LANES, 3)
     inv_t = inv.reshape(nt, LANES, 3)
-    # parked (dead) lanes must not widen the tile intervals
     live = (ro_t[..., 0] != PARK_DISTANCE)[..., None]              # (nt,LANES,1)
     ro_lo = jnp.where(live, ro_t, BIG).min(1)[:, None]             # (nt,1,3)
     ro_hi = jnp.where(live, ro_t, -BIG).max(1)[:, None]
@@ -275,24 +363,31 @@ def closest_triangle(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
     hi = tvc.max(axis=(1, 2))
     centroid = 0.5 * (lo + hi)
     b = _pack_tri_consts(tvc, centroid)                       # (M, 4C, FEAT)
+    resident = (m * 4 * c * FEAT * 4) <= RESIDENT_LIMIT
+    if resident:
+        # full-lane (FEAT, M*4C) layout: no tile-padding waste in VMEM
+        b = b.transpose(2, 0, 1).reshape(FEAT, m * 4 * c)
+    else:
+        # streaming layout: K padded so per-chunk DMA slices are 128-aligned
+        pad = jnp.zeros(b.shape[:2] + (FEAT_PAD - FEAT,), b.dtype)
+        b = jnp.concatenate([b, pad], axis=-1)                # (M, 4C, 128)
     meta = centroid                                           # (M, 3)
 
     r = ro.shape[0]
-    pad = (-r) % LANES
-    if pad:  # padding lanes are parked (zero accel work)
-        ro32 = jnp.concatenate([ro.astype(f32), jnp.full((pad, 3), PARK_DISTANCE, f32)])
-        rd32 = jnp.concatenate([rd.astype(f32), jnp.ones((pad, 3), f32)])
+    pad_n = (-r) % LANES
+    if pad_n:  # padding lanes are parked (zero accel work)
+        ro32 = jnp.concatenate([ro.astype(f32), jnp.full((pad_n, 3), PARK_DISTANCE, f32)])
+        rd32 = jnp.concatenate([rd.astype(f32), jnp.ones((pad_n, 3), f32)])
     else:
         ro32, rd32 = ro.astype(f32), rd.astype(f32)
-    feat = _features(ro32, rd32)                              # (R', FEAT)
-    nt = feat.shape[0] // LANES
+    feat = _features(ro32, rd32)                              # (FEAT, R')
+    nt = feat.shape[1] // LANES
     chunk_list, counts = _chunk_mask(ro32, rd32, lo, hi, nt)
-    feat = feat.reshape(nt, LANES, FEAT).transpose(0, 2, 1)   # (nt, FEAT, LANES)
 
     interpret = jax.default_backend() == "cpu"
     t, idx = _sweep(meta, chunk_list, counts, feat, b, c, float(cfg.det_epsilon),
                     float(cfg.smallest_dist), interpret, any_mode,
-                    cfg.matmul_precision)
+                    cfg.matmul_precision, resident)
     t = t.reshape(-1)[:r].astype(ro.dtype)
     idx = idx.reshape(-1)[:r]
     orig = jnp.where(idx >= 0, perm[jnp.maximum(idx, 0)], -1)

@@ -53,8 +53,7 @@ def test_pack_tri_consts_reproduces_cramer():
     ro = jnp.asarray(rng.uniform(-2, 2, (16, 3)) * np.array([1, 1, 0]), jnp.float32)
     rd = vec.normalize(jnp.asarray(rng.standard_normal((16, 3))
                                    + np.array([0, 0, 4]), jnp.float32))
-    feat = trace._features(ro, rd)
-    a = feat.T
+    a = trace._features(ro, rd)   # (FEAT, R) transposed layout
     gx, gy, gz = g[0]
     rdx, rdy, rdz = a[4:5], a[5:6], a[6:7]
     a2 = jnp.concatenate([
@@ -109,3 +108,17 @@ def test_pallas_render_matches_chunked_image(reference_assets):
     img_p = np.asarray(render_image(scene_p, camera, cfg_p))
     err = np.abs(img_b - img_p).max(axis=-1)
     assert (err > 1e-3).mean() <= 0.01, f"max {err.max()}, frac {(err > 1e-3).mean()}"
+
+
+def test_pallas_streaming_path_matches(monkeypatch):
+    """Force the HBM-streaming variant (big-scene path) and check it agrees."""
+    monkeypatch.setattr(trace, "RESIDENT_LIMIT", 0)
+    scene = random_scene()
+    cfg = RenderConfig(accel="pallas", chunk_size=32)
+    scene = accel.with_chunks(scene, cfg)
+    ro, rd = random_rays()
+    tp, ip = trace.closest_triangle(scene, ro, rd, cfg)
+    tb, ib = brute(scene, ro, rd, cfg)
+    np.testing.assert_array_equal(np.asarray(tp) < 1e29, tb < 1e29)
+    both = tb < 1e29
+    np.testing.assert_allclose(np.asarray(tp)[both], tb[both], rtol=1e-4)
