@@ -116,8 +116,10 @@ def _reduce_update(p, best_t, best_i, m, c, det_eps, t_min, any_mode):
     tmin = jnp.min(tm, axis=0, keepdims=True)
     amin = jnp.argmin(tm, axis=0, keepdims=True).astype(jnp.int32)
     upd = tmin < best_t
-    if any_mode:
-        upd &= best_i < 0                    # first hit wins; no nearest needed
+    # any_mode needs no extra guard: occlusion only reads idx >= 0, which
+    # later (nearer) updates preserve. (A first-hit guard bool tripped an
+    # unimplemented Mosaic sublane-broadcast relayout.)
+    del any_mode
     return (jnp.where(upd, tmin, best_t),
             jnp.where(upd, m * c + amin, best_i))
 
@@ -145,28 +147,20 @@ def _kernel_resident(meta_ref, list_ref, count_ref, feat_ref, b_ref,
     a2_scratch[4:7] = a[4:7]
     a2_scratch[10:FEAT] = jnp.zeros((FEAT - 10, LANES), jnp.float32)
 
-    def body(j, carry):
-        best_t, best_i = carry
+    def step(j, best_t, best_i):
         m = list_ref[0, 0, j]
         _recenter(a, a2_scratch, m, meta_ref)
-
-        def chunk_hit(carry):
-            best_t, best_i = carry
-            off = pl.multiple_of(m * fc, fc)
-            bm = b_vmem[:, pl.ds(off, fc)]           # (FEAT, 4C) lane slice
-            p = lax.dot_general(bm, a2_scratch[:], (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=precision)  # (4C, LANES)
-            return _reduce_update(p, best_t, best_i, m, c, det_eps, t_min, any_mode)
-
-        if any_mode:
-            return lax.cond(jnp.any(best_i < 0), chunk_hit, lambda s: s,
-                            (best_t, best_i))
-        return chunk_hit((best_t, best_i))
+        off = pl.multiple_of(m * fc, fc)
+        bm = b_vmem[:, pl.ds(off, fc)]               # (FEAT, 4C) lane slice
+        p = lax.dot_general(bm, a2_scratch[:], (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=precision)      # (4C, LANES)
+        return _reduce_update(p, best_t, best_i, m, c, det_eps, t_min, any_mode)
 
     init = (jnp.full((1, LANES), BIG, jnp.float32),
             jnp.full((1, LANES), -1, jnp.int32))
-    best_t, best_i = lax.fori_loop(0, n, body, init)
+    best_t, best_i = lax.fori_loop(
+        0, n, lambda j, carry: step(j, *carry), init)
     out_t_ref[0] = best_t
     out_i_ref[0] = best_i
 
@@ -198,8 +192,7 @@ def _kernel_stream(meta_ref, list_ref, count_ref, feat_ref, b_ref,
     def _():
         start_fetch(jnp.asarray(0, n.dtype), jnp.asarray(0, n.dtype))
 
-    def body(j, carry):
-        best_t, best_i = carry
+    def step(j, best_t, best_i):
         two = jnp.asarray(2, j.dtype)
         slot = lax.rem(j, two)
         m = list_ref[0, 0, j]
@@ -207,22 +200,16 @@ def _kernel_stream(meta_ref, list_ref, count_ref, feat_ref, b_ref,
         _recenter(a, a2_scratch, m, meta_ref)
         pltpu.make_async_copy(b_ref.at[m], b_scratch.at[slot],
                               dma_sems.at[slot]).wait()
-
-        def chunk_hit(carry):
-            best_t, best_i = carry
-            bm = b_scratch[slot]                     # (4C, FEAT_PAD)
-            p = jnp.dot(bm, a2_scratch[:], preferred_element_type=jnp.float32,
-                        precision=precision)         # (4C, LANES)
-            return _reduce_update(p, best_t, best_i, m, c, det_eps, t_min, any_mode)
-
-        if any_mode:
-            return lax.cond(jnp.any(best_i < 0), chunk_hit, lambda s: s,
-                            (best_t, best_i))
-        return chunk_hit((best_t, best_i))
+        bm = b_scratch[slot]                         # (4C, FEAT_PAD)
+        p = jnp.dot(bm, a2_scratch[:], preferred_element_type=jnp.float32,
+                    precision=precision)             # (4C, LANES)
+        return _reduce_update(p, best_t, best_i, m, c, det_eps, t_min, any_mode)
 
     init = (jnp.full((1, LANES), BIG, jnp.float32),
             jnp.full((1, LANES), -1, jnp.int32))
-    best_t, best_i = lax.fori_loop(0, n, body, init)
+    best_t, best_i = lax.fori_loop(0, n, lambda j, carry: step(j, *carry), init)
+    # (any-mode early exit is only in the resident variant: the streaming
+    # prefetch bookkeeping must stay in lockstep with the loop index)
 
     @pl.when(n > 0)
     def _():
@@ -363,7 +350,8 @@ def closest_triangle(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
     hi = tvc.max(axis=(1, 2))
     centroid = 0.5 * (lo + hi)
     b = _pack_tri_consts(tvc, centroid)                       # (M, 4C, FEAT)
-    resident = (m * 4 * c * FEAT * 4) <= RESIDENT_LIMIT
+    # resident lane slices must be provably 128-aligned → need 4C % 128 == 0
+    resident = (m * 4 * c * FEAT * 4) <= RESIDENT_LIMIT and (4 * c) % 128 == 0
     if resident:
         # full-lane (FEAT, M*4C) layout: no tile-padding waste in VMEM
         b = b.transpose(2, 0, 1).reshape(FEAT, m * 4 * c)
