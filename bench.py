@@ -27,7 +27,7 @@ def main() -> None:
     height = int(os.environ.get("RT_BENCH_HEIGHT", 48 if smoke else 1080))
     depth = int(os.environ.get("RT_BENCH_DEPTH", 3))
     repeats = int(os.environ.get("RT_BENCH_REPEATS", 1 if smoke else 5))
-    accel_mode = os.environ.get("RT_BENCH_ACCEL", "chunked")
+    accel_mode = os.environ.get("RT_BENCH_ACCEL", "pallas")
 
     from realtrace_tpu.apps import scenes
     from realtrace_tpu.core.types import RenderConfig

@@ -234,8 +234,18 @@ def closest_hit(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig) -> Hit:
 
     if scene.n_triangles:
         m = valid & (fam == FAM_TRI)
-        tv = scene.tri_vertices[idx]                       # (R,3,3)
-        tc = scene.tri_colors[idx]                         # (R,3,3)
+        # ONE fused row gather from a (N, 24) shade table — ~10 separate
+        # narrow gathers at 2M rays cost ~190ms on TPU; one wide row gather
+        # is near DMA speed. Differentiable w.r.t. the table values.
+        tm = scene.tri_materials
+        table = jnp.concatenate([
+            scene.tri_vertices.reshape(-1, 9),
+            scene.tri_colors.reshape(-1, 9),
+            jnp.stack([tm.ka, tm.kd, tm.ks, tm.kr, tm.kt, tm.eta], axis=1),
+        ], axis=1)                                         # (N, 24)
+        g = table[idx]                                     # (R, 24)
+        tv = g[:, 0:9].reshape(-1, 3, 3)
+        tc = g[:, 9:18].reshape(-1, 3, 3)
         a, b, c = tv[:, 0], tv[:, 1], tv[:, 2]
         e1, e2 = a - b, a - c
         nrm = vec.cross(e1, e2)
@@ -250,9 +260,8 @@ def closest_hit(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig) -> Hit:
         t_d = sel(m, tt, t_d)
         normal = sel(m, nrm, normal)
         color = sel(m, col, color)
-        tm = scene.tri_materials
-        for k in mats:
-            mats[k] = sel(m, getattr(tm, k)[idx], mats[k])
+        for j, k in enumerate(("ka", "kd", "ks", "kr", "kt", "eta")):
+            mats[k] = sel(m, g[:, 18 + j], mats[k])
 
     if scene.n_spheres:
         m = valid & (fam == FAM_SPH)
