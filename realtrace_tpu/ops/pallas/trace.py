@@ -76,28 +76,15 @@ def _pack_tri_consts(tvc: Array, centroid: Array) -> Array:
 
 
 def _features(ro: Array, rd: Array) -> Array:
-    """Per-ray features (R, FEAT): [1, ro, rd, rd x ro, 1/rd, pad].
-
-    Kept ray-major (cheap concat, no relayout); the kernel transposes its
-    (LANES, FEAT) block to (FEAT, LANES) with one tiny MXU identity matmul —
-    an XLA-side (R,16)→(16,R) transpose costs ~11ms per sweep at 1080p.
-    """
+    """Per-ray features, TRANSPOSED layout (FEAT, R): rows
+    [1, ro, rd, rd x ro, 1/rd, pad]. Built row-major so the kernel's
+    (FEAT, LANES) blocks are plain column slices — no relayout."""
     q = jnp.cross(rd, ro)
     inv = jnp.where(rd != 0.0, 1.0 / jnp.where(rd != 0.0, rd, 1.0), BIG)
     one = jnp.ones((ro.shape[0], 1), ro.dtype)
     pad = jnp.zeros((ro.shape[0], FEAT - 13), ro.dtype)
-    return jnp.concatenate([one, ro, rd, q, inv, pad], axis=1)
-
-
-def _transpose_feat(raw):
-    """(LANES, FEAT) → (FEAT, LANES) via identity matmul: out[i, r] =
-    Σ_k I[i,k]·raw[r,k]. Exact at HIGHEST precision; the MXU transposes the
-    stationary operand for free, avoiding an unsupported vector relayout."""
-    eye = (jax.lax.broadcasted_iota(jnp.int32, (FEAT, FEAT), 0)
-           == jax.lax.broadcasted_iota(jnp.int32, (FEAT, FEAT), 1)).astype(jnp.float32)
-    return lax.dot_general(eye, raw, (((1,), (1,)), ((), ())),
-                           preferred_element_type=jnp.float32,
-                           precision=lax.Precision.HIGHEST)
+    # ONE (R,16)->(16,R) relayout instead of four narrow transposes
+    return jnp.concatenate([one, ro, rd, q, inv, pad], axis=1).T
 
 
 def _recenter(a, a2_scratch, m, meta_ref):
@@ -147,7 +134,7 @@ def _kernel_resident(meta_ref, list_ref, count_ref, feat_ref, b_ref,
     MXU mode (the stationary operand loads transposed for free)."""
     c = chunk_size
     fc = 4 * c
-    a = _transpose_feat(feat_ref[:])                 # (FEAT, LANES)
+    a = feat_ref[:]                                  # (FEAT, LANES)
     n = count_ref[0, 0, 0]
 
     @pl.when(pl.program_id(0) == 0)
@@ -185,7 +172,7 @@ def _kernel_stream(meta_ref, list_ref, count_ref, feat_ref, b_ref,
     """Streaming variant for scenes too big for VMEM: per-chunk (4C, FEAT_PAD)
     constants double-buffer-DMA'd from HBM, prefetch overlapping the matmul."""
     c = chunk_size
-    a = _transpose_feat(feat_ref[:])
+    a = feat_ref[:]
     n = count_ref[0, 0, 0]
 
     a2_scratch[0:1] = a[0:1]
@@ -247,7 +234,7 @@ _PRECISIONS = {"default": lax.Precision.DEFAULT, "high": lax.Precision.HIGH,
 def _sweep(meta, chunk_list, counts, feat, b, chunk_size: int, det_eps: float,
            t_min: float, interpret: bool, any_mode: bool = False,
            precision: str = "highest", resident: bool = True):
-    nt = feat.shape[0] // LANES
+    nt = feat.shape[1] // LANES
     m = chunk_list.shape[-1]
     fc = 4 * chunk_size
     if resident:
@@ -276,7 +263,7 @@ def _sweep(meta, chunk_list, counts, feat, b, chunk_size: int, det_eps: float,
             # (3D so the trailing block dims equal the array dims)
             pl.BlockSpec((1, 1, m), lambda i, *_: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((LANES, FEAT), lambda i, *_: (i, 0)),
+            pl.BlockSpec((FEAT, LANES), lambda i, *_: (0, i)),
             pl.BlockSpec(memory_space=pltpu.ANY),   # tri consts stay in HBM
         ],
         scratch_shapes=scratch,
@@ -382,7 +369,7 @@ def closest_triangle(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
     else:
         ro32, rd32 = ro.astype(f32), rd.astype(f32)
     feat = _features(ro32, rd32)                              # (FEAT, R')
-    nt = feat.shape[0] // LANES
+    nt = feat.shape[1] // LANES
     chunk_list, counts = _chunk_mask(ro32, rd32, lo, hi, nt)
 
     interpret = jax.default_backend() == "cpu"

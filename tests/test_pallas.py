@@ -53,7 +53,7 @@ def test_pack_tri_consts_reproduces_cramer():
     ro = jnp.asarray(rng.uniform(-2, 2, (16, 3)) * np.array([1, 1, 0]), jnp.float32)
     rd = vec.normalize(jnp.asarray(rng.standard_normal((16, 3))
                                    + np.array([0, 0, 4]), jnp.float32))
-    a = trace._features(ro, rd).T   # test math wants (FEAT, R)
+    a = trace._features(ro, rd)   # (FEAT, R) transposed layout
     gx, gy, gz = g[0]
     rdx, rdy, rdz = a[4:5], a[5:6], a[6:7]
     a2 = jnp.concatenate([
