@@ -152,11 +152,13 @@ def cylinder_test(ro: Array, rd: Array, center: Array, up: Array, radius: Array,
 # closest hit
 # ---------------------------------------------------------------------------
 
-def _tri_closest(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig):
+def _tri_closest(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
+                 pack=None):
     """Nearest triangle per ray: (t, idx) with BIG/-1 for miss.
 
-    Dispatches on cfg.accel; the accelerated path lives in ops.accel to keep
-    this module dependency-light.
+    Dispatches on cfg.accel. The pallas path returns SORTED-space indices
+    (mapped back to originals through the shade table's index column —
+    avoiding a narrow 2M-ray permutation gather).
     """
     if scene.n_triangles == 0:
         r = ro.shape[0]
@@ -168,7 +170,7 @@ def _tri_closest(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig):
         return tbest, jnp.where(tbest < BIG, idx, -1)
     if cfg.accel == "pallas":
         from realtrace_tpu.ops.pallas import trace
-        return trace.closest_triangle(scene, ro, rd, cfg)
+        return trace.closest_triangle(scene, ro, rd, cfg, pack=pack, raw_idx=True)
     from realtrace_tpu.ops import accel
     return accel.closest_triangle(scene, ro, rd, cfg)
 
@@ -184,17 +186,20 @@ def _family_min(cands):
     return t, fam, idx
 
 
-def closest_hit(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig) -> Hit:
+def closest_hit(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
+                pack=None) -> Hit:
     """Nearest hit over all primitive families, with differentiable attribute
     recomputation. The wavefront analog of ``World::firstIntersection``
-    (Serial/world.cpp:5-17).
+    (Serial/world.cpp:5-17). ``pack`` is the optional precomputed AccelPack
+    (pallas mode), built once per frame by the wavefront loop.
     """
     r = ro.shape[0]
     dt = ro.dtype
     i32 = jnp.int32
 
     cands = []
-    t_tri, idx_tri = _tri_closest(scene, lax.stop_gradient(ro), lax.stop_gradient(rd), cfg)
+    t_tri, idx_tri = _tri_closest(scene, lax.stop_gradient(ro), lax.stop_gradient(rd),
+                                  cfg, pack=pack)
     cands.append((t_tri, jnp.where(idx_tri >= 0, FAM_TRI, FAM_NONE), idx_tri))
 
     sro, srd = lax.stop_gradient(ro), lax.stop_gradient(rd)
@@ -232,6 +237,7 @@ def closest_hit(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig) -> Hit:
             return jnp.where(mask[:, None], new, old)
         return jnp.where(mask, new, old)
 
+    index_out = idx
     if scene.n_triangles:
         m = valid & (fam == FAM_TRI)
         # ONE fused row gather from a (N, 24) shade table — ~10 separate
@@ -243,7 +249,17 @@ def closest_hit(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig) -> Hit:
             scene.tri_colors.reshape(-1, 9),
             jnp.stack([tm.ka, tm.kd, tm.ks, tm.kr, tm.kt, tm.eta], axis=1),
         ], axis=1)                                         # (N, 24)
-        g = table[idx]                                     # (R, 24)
+        if cfg.accel == "pallas":
+            # pallas idx is SORTED-space: gather from the permuted table and
+            # recover the original triangle id from an index column (exact in
+            # f32/f64 below 2^24 triangles) — no per-ray perm gather.
+            perm = pack.perm if pack is not None else scene.tri_chunk_perm
+            table = jnp.concatenate(
+                [table[perm], perm.astype(dt)[:, None]], axis=1)  # (N', 25)
+            g = table[idx]                                 # (R, 25)
+            index_out = jnp.where(m, g[:, 24].astype(i32), index_out)
+        else:
+            g = table[idx]                                 # (R, 24)
         tv = g[:, 0:9].reshape(-1, 3, 3)
         tc = g[:, 9:18].reshape(-1, 3, 3)
         a, b, c = tv[:, 0], tv[:, 1], tv[:, 2]
@@ -327,12 +343,13 @@ def closest_hit(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig) -> Hit:
 
     t_final = jnp.where(valid, t_d, BIG)
     position = ro + t_final[:, None] * rd
-    return Hit(valid=valid, t=t_final, family=fam, index=jnp.where(valid, idx, -1),
+    return Hit(valid=valid, t=t_final, family=fam, index=jnp.where(valid, index_out, -1),
                position=jnp.where(valid[:, None], position, 0.0),
                normal=normal, color=color, **mats)
 
 
-def any_hit(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig) -> Array:
+def any_hit(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
+            pack=None) -> Array:
     """Occlusion query for shadow rays: does *anything* intersect with
     t > SMALLEST_DIST?  Ref semantics: the serial shadow test runs a full
     firstIntersection and checks didHit() (Serial/world.cpp:44-47) — no
@@ -349,7 +366,7 @@ def any_hit(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig) -> Array:
             occ |= jnp.any(t < BIG, axis=1)
         elif cfg.accel == "pallas":
             from realtrace_tpu.ops.pallas import trace
-            occ |= trace.any_triangle(scene, ro, rd, cfg)
+            occ |= trace.any_triangle(scene, ro, rd, cfg, pack=pack)
         else:
             from realtrace_tpu.ops import accel
             occ |= accel.any_triangle(scene, ro, rd, cfg)

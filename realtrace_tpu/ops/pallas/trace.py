@@ -332,12 +332,22 @@ def _chunk_mask(ro, rd, lo, hi, nt):
     return order[:, None, :], counts[:, None, None]
 
 
-def closest_triangle(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
-                     any_mode: bool = False):
-    """accel-API entry: nearest triangle (t, original_index) via the Pallas
-    chunk sweep. Forward-only (callers stop gradients). ``any_mode`` turns the
-    query into first-hit occlusion (shadow rays): no nearest-hit ordering and
-    chunks are skipped once every lane is occluded."""
+class AccelPack:
+    """Scene-constant sweep inputs, built ONCE per frame and threaded through
+    every closest/occlusion query (8+ sweeps per frame would otherwise each
+    recompute ~6ms of packing at 1080p)."""
+
+    def __init__(self, b, meta, lo, hi, perm, resident: bool):
+        self.b = b            # constants table (layout depends on `resident`)
+        self.meta = meta      # (M, 3) chunk centroids
+        self.lo = lo          # (M, 3) chunk AABB mins
+        self.hi = hi          # (M, 3) chunk AABB maxs
+        self.perm = perm      # (M*C,) sorted->original triangle index
+        self.resident = resident
+
+
+def build_pack(scene: Scene, cfg: RenderConfig) -> AccelPack:
+    """Precompute the sweep's scene-constant inputs (stop-gradient)."""
     perm = scene.tri_chunk_perm
     if perm is None:
         raise ValueError("scene has no chunk permutation; call accel.with_chunks(scene, cfg)")
@@ -359,7 +369,24 @@ def closest_triangle(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
         # streaming layout: K padded so per-chunk DMA slices are 128-aligned
         pad = jnp.zeros(b.shape[:2] + (FEAT_PAD - FEAT,), b.dtype)
         b = jnp.concatenate([b, pad], axis=-1)                # (M, 4C, 128)
-    meta = centroid                                           # (M, 3)
+    return AccelPack(b, centroid, lo, hi, perm, resident)
+
+
+def closest_triangle(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
+                     any_mode: bool = False, pack: AccelPack | None = None,
+                     raw_idx: bool = False):
+    """accel-API entry: nearest triangle (t, index) via the Pallas chunk
+    sweep. Forward-only (callers stop gradients). ``any_mode`` turns the
+    query into first-hit occlusion (shadow rays). ``raw_idx`` returns the
+    SORTED-space index (for callers that gather from a sorted table), which
+    skips a 20ms/2M-ray permutation gather; default is the original index.
+    """
+    if pack is None:
+        pack = build_pack(scene, cfg)
+    c = cfg.chunk_size
+    f32 = jnp.float32
+    b, meta, lo, hi, perm = pack.b, pack.meta, pack.lo, pack.hi, pack.perm
+    resident = pack.resident
 
     r = ro.shape[0]
     pad_n = (-r) % LANES
@@ -378,10 +405,16 @@ def closest_triangle(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
                     cfg.matmul_precision, resident)
     t = t.reshape(-1)[:r].astype(ro.dtype)
     idx = idx.reshape(-1)[:r]
+    t = jnp.where(idx >= 0, t, BIG)
+    if raw_idx:
+        return t, idx
     orig = jnp.where(idx >= 0, perm[jnp.maximum(idx, 0)], -1)
-    return jnp.where(idx >= 0, t, BIG), orig
+    return t, orig
 
 
-def any_triangle(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig) -> Array:
-    t, idx = closest_triangle(scene, ro, rd, cfg, any_mode=True)
+def any_triangle(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
+                 pack: AccelPack | None = None) -> Array:
+    # raw indices: occlusion only needs idx >= 0, the perm map would be waste
+    t, idx = closest_triangle(scene, ro, rd, cfg, any_mode=True, pack=pack,
+                              raw_idx=True)
     return idx >= 0

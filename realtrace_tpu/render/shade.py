@@ -68,7 +68,8 @@ def _park_dead(ro: Array, rd: Array, live: Array) -> tuple[Array, Array]:
             jnp.where(live[:, None], rd, park_d))
 
 
-def shadow_mask(scene: Scene, hit_pos: Array, live: Array, cfg: RenderConfig) -> Array:
+def shadow_mask(scene: Scene, hit_pos: Array, live: Array, cfg: RenderConfig,
+                pack=None) -> Array:
     """True where ANY light's shadow ray is occluded.
 
     Ref: Serial/world.cpp:42-51 — shadow ray origin is offset by
@@ -82,12 +83,12 @@ def shadow_mask(scene: Scene, hit_pos: Array, live: Array, cfg: RenderConfig) ->
         origin = hit_pos + cfg.shadow_origin_bias * to_light
         direction = vec.normalize(to_light)
         origin, direction = _park_dead(origin, direction, live)
-        occ |= any_hit(scene, origin, direction, cfg)
+        occ |= any_hit(scene, origin, direction, cfg, pack=pack)
     return occ
 
 
 def local_color(scene: Scene, hit: Hit, rd: Array, cfg: RenderConfig,
-                live: Array | None = None) -> Array:
+                live: Array | None = None, pack=None) -> Array:
     """Direct (local) shade at a hit: Phong + ambient, with the reference's
     shadow blend ``final*1e-4 + shadowColor*(1-1e-4)``.
 
@@ -102,13 +103,14 @@ def local_color(scene: Scene, hit: Hit, rd: Array, cfg: RenderConfig,
     lc = lc + amb
     if cfg.shadows and scene.lights.position.shape[0]:
         sh = shadow_mask(scene, lax.stop_gradient(hit.position),
-                         lax.stop_gradient(live), cfg)
+                         lax.stop_gradient(live), cfg, pack=pack)
         b = cfg.shadow_blend
         lc = jnp.where(sh[:, None], lc * b + amb * (1.0 - b), lc)
     return lc
 
 
-def _children(scene: Scene, hit: Hit, ro: Array, rd: Array, coeff: Array, cfg: RenderConfig):
+def _children(scene: Scene, hit: Hit, ro: Array, rd: Array, coeff: Array,
+               cfg: RenderConfig, pack=None):
     """One wavefront step: local contribution + (reflect, refract) children.
 
     Returns (contrib, (ro_r, rd_r, coeff_r), (ro_t, rd_t, coeff_t)).
@@ -127,7 +129,7 @@ def _children(scene: Scene, hit: Hit, ro: Array, rd: Array, coeff: Array, cfg: R
     is_diel = valid & (hit.kr > 0.0) & (hit.kt > 0.0)
     is_refl = valid & (hit.kr > 0.0) & ~is_diel
 
-    lc = local_color(scene, hit, rd, cfg, live=valid)
+    lc = local_color(scene, hit, rd, cfg, live=valid, pack=pack)
     # miss → background; dielectric → no local term (Serial/world.cpp:100 returns children only)
     contrib = jnp.where(valid[:, None] & ~is_diel[:, None], coeff * lc, 0.0)
     contrib = contrib + jnp.where((active & ~hit.valid)[:, None], coeff * scene.background[None], 0.0)
@@ -188,6 +190,12 @@ def trace_wavefront(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
     if coeff is None:
         coeff = jnp.ones_like(ro)
 
+    # scene-constant sweep inputs, built ONCE for all levels and queries
+    pack = None
+    if cfg.accel == "pallas" and scene.n_triangles:
+        from realtrace_tpu.ops.pallas import trace as _ptrace
+        pack = _ptrace.build_pack(scene, cfg)
+
     def count_rays(coeff_arr):
         active = jnp.any(coeff_arr > 0.0, axis=-1)
         return jnp.sum(active.astype(jnp.float32)) * (1.0 + nl)
@@ -196,8 +204,9 @@ def trace_wavefront(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
         def step(carry, _):
             ro, rd, coeff, accum, nrays = carry
             nrays = nrays + count_rays(coeff)
-            hit = closest_hit(scene, ro, rd, cfg)
-            contrib, (ro_r, rd_r, coeff_r), _ = _children(scene, hit, ro, rd, coeff, cfg)
+            hit = closest_hit(scene, ro, rd, cfg, pack=pack)
+            contrib, (ro_r, rd_r, coeff_r), _ = _children(scene, hit, ro, rd, coeff,
+                                                          cfg, pack=pack)
             return (ro_r, rd_r, coeff_r, accum + contrib, nrays), None
 
         init = (ro, rd, coeff, jnp.zeros_like(ro), jnp.zeros((), jnp.float32))
@@ -213,8 +222,8 @@ def trace_wavefront(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
         new_rays = []
         for (o, d, cf) in rays:
             nrays = nrays + count_rays(cf)
-            hit = closest_hit(scene, o, d, cfg)
-            contrib, child_r, child_t = _children(scene, hit, o, d, cf, cfg)
+            hit = closest_hit(scene, o, d, cfg, pack=pack)
+            contrib, child_r, child_t = _children(scene, hit, o, d, cf, cfg, pack=pack)
             accum = accum + contrib
             new_rays.append(child_r)
             if level < cfg.split_depth:
