@@ -63,3 +63,20 @@ def test_stability_kernel_modes():
     img0 = np.asarray(samples.stability(64, 64, 0.5, 0))
     off = img0[10, 10]
     assert off[2] > off[0]
+
+
+def test_invert_cli_recovers(tmp_path):
+    from realtrace_tpu.apps.invert import main as invert_main
+
+    rc = invert_main(["--scene", "sphere_plane", "--fields", "sph_color",
+                      "--steps", "40", "--lr", "0.05", "--width", "16",
+                      "--height", "12", "--out-dir", str(tmp_path),
+                      "--ckpt-every", "20", "--cpu"])
+    assert rc == 0
+    assert (tmp_path / "recovered.png").exists()
+    assert (tmp_path / "target.png").exists()
+    assert any((tmp_path / "ckpt").iterdir())
+    rec = load_png(tmp_path / "recovered.png")
+    tgt = load_png(tmp_path / "target.png")
+    # the optimized render should be close to the target almost everywhere
+    assert (np.abs(rec - tgt).max(axis=-1) < 0.08).mean() > 0.95

@@ -102,3 +102,29 @@ def test_bob_textured_with_accel(reference_assets):
         dtype=DT, max_faces=2000)
     scene = accel.with_chunks(scene, cfg)
     run_case(scene, cam, cfg, 40, 30)
+
+
+def test_two_lights_with_shadows():
+    """Multi-light: the serial shader sums Phong over the light list and
+    shadows if ANY light is occluded (Serial/world.cpp:44-58)."""
+    b = SceneBuilder(dtype=DT)
+    b.ambient = (1, 1, 1)
+    b.background = (0.1, 0.3, 0.6)
+    b.add_sphere((0, 0, 0), 2.0, color=(0.8, 0.1, 0.0),
+                 material=b.material(kr=0.2))
+    b.add_plane((12, -3, 12), (-12, -3, 12), (-12, -3, -12), (12, -3, -12),
+                color=(0.5, 0.5, 0.5), material=b.material(ka=0.1, kd=0.9, ks=0.2))
+    b.add_light((8, 10, 8), (0.7, 0.2, 0.2))
+    b.add_light((-8, 10, -2), (0.2, 0.7, 0.7))
+    scene = b.build()
+    cam = dict(position=(10, 8, 10), target=(0, 0, 0), up=(0, 1, 0), fovy=45)
+    run_case(scene, cam, RenderConfig(max_depth=2), 40, 32)
+
+
+def test_parallel_stack_scene_semantics(reference_assets):
+    """The CUDA app's scene (duplicated model, floor tris, no shadow rays —
+    Parellel/main.cu:140-244, kernel.cu has no shadow path)."""
+    scene, cam = scenes.parallel_obj_scene(reference_assets / "tetrahedron.obj",
+                                           dtype=DT, scale=2.0)
+    assert scene.n_triangles == 2 * 14 + 2  # duplicated mesh + floor
+    run_case(scene, cam, RenderConfig(max_depth=2, shadows=False), 40, 30)
