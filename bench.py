@@ -34,7 +34,8 @@ def main() -> None:
     from realtrace_tpu.ops import accel
     from realtrace_tpu.render.pipeline import render_with_stats
 
-    cfg = RenderConfig(max_depth=depth, accel=accel_mode, chunk_size=64,
+    cfg = RenderConfig(max_depth=depth, accel=accel_mode,
+                       chunk_size=int(os.environ.get("RT_BENCH_CHUNK", 64)),
                        shortlist=48, ray_block=int(os.environ.get("RT_BENCH_BLOCK", 8192)))
     scene, cam = scenes.serial_obj_scene(
         texture_path="/root/reference/Serial/bob_diffuse.png", dtype=jnp.float32)
