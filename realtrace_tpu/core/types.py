@@ -26,6 +26,9 @@ RECURSION_DEPTH = 10  # Serial/world.h:11
 # Dead wavefront lanes are "parked" at this origin (far outside any scene);
 # accel paths recognize the sentinel and assign such lanes zero work.
 PARK_DISTANCE = 1e8
+# Rays per wavefront tile: the unit of accel-kernel work (ops/pallas/trace
+# runs one 8x128-lane grid step per tile) and of inter-level compaction.
+WAVEFRONT_TILE = 1024
 
 
 @struct.dataclass
@@ -244,3 +247,8 @@ class RenderConfig:
     shortlist: int = 48                    # chunks tested per ray block (XLA chunked path)
     ray_block: int = 2048                  # rays per lax.map block in XLA paths
     matmul_precision: str = "highest"      # pallas triangle-test MXU precision
+    # inter-level wavefront compaction: deep bounce levels run on only the
+    # live tiles (gathered to a power-of-two tile capacity via lax.switch) —
+    # exact, shape-static, and the XLA shading work shrinks with the wavefront
+    compact_levels: bool = True
+    compact_buckets: int = 6               # capacities nt, nt/2, ..., nt/2^(b-1)

@@ -18,7 +18,8 @@ import jax.numpy as jnp
 from jax import Array, lax
 
 from realtrace_tpu.core import vec
-from realtrace_tpu.core.types import PARK_DISTANCE, RenderConfig, Scene
+from realtrace_tpu.core.types import (PARK_DISTANCE, WAVEFRONT_TILE,
+                                      RenderConfig, Scene)
 from realtrace_tpu.ops.intersect import Hit, any_hit, closest_hit
 
 
@@ -201,13 +202,88 @@ def trace_wavefront(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
         return jnp.sum(active.astype(jnp.float32)) * (1.0 + nl)
 
     if not branching:
+        r = ro.shape[0]
+        tile = WAVEFRONT_TILE
+        nt = r // tile if r % tile == 0 else 0
+        compact = cfg.compact_levels and nt >= 4
+
+        if not compact:
+            def step(carry, _):
+                ro, rd, coeff, accum, nrays = carry
+                nrays = nrays + count_rays(coeff)
+                hit = closest_hit(scene, ro, rd, cfg, pack=pack)
+                contrib, (ro_r, rd_r, coeff_r), _ = _children(scene, hit, ro, rd, coeff,
+                                                              cfg, pack=pack)
+                return (ro_r, rd_r, coeff_r, accum + contrib, nrays), None
+
+            init = (ro, rd, coeff, jnp.zeros_like(ro), jnp.zeros((), jnp.float32))
+            (ro_f, rd_f, coeff_f, accum, nrays), _ = lax.scan(step, init, None, length=cfg.max_depth + 1)
+            accum = accum + coeff_f * scene.background[None]   # depth-exceeded → background
+            return (accum, nrays) if with_stats else accum
+
+        # ---- compacted levels: deep bounces run at a fraction of the width.
+        # After the first bounce most tiles carry zero energy; gathering the
+        # live tiles into the smallest power-of-two capacity >= live count
+        # (lax.switch over static bucket widths) shrinks EVERY dense XLA op
+        # (attribute recompute, Phong, child-ray math) with the wavefront,
+        # not just the accel kernel. Exact: tiles are only skipped when all
+        # their lanes carry zero coefficient.
+        caps = [nt]
+        for _ in range(max(cfg.compact_buckets - 1, 0)):
+            nxt = (caps[-1] + 1) // 2
+            if nxt == caps[-1]:
+                break
+            caps.append(nxt)
+        caps_arr = jnp.asarray(caps[1:], jnp.int32)
+
+        def branch(cap: int):
+            def br(operand):
+                ro_f, rd_f, coeff_f, accum, tl, pos, cnt = operand
+                tidx = jnp.nonzero(tl, size=cap, fill_value=0)[0].astype(jnp.int32)
+
+                def g3(x):
+                    return x.reshape(nt, tile, 3)[tidx].reshape(cap * tile, 3)
+
+                ro_c, rd_c, coeff_c = g3(ro_f), g3(rd_f), g3(coeff_f)
+                # capacity slots beyond the live count duplicate tile 0: kill
+                # their energy and park their rays (zero contribution + work)
+                padlive = jnp.repeat(jnp.arange(cap, dtype=jnp.int32) < cnt, tile)
+                coeff_c = jnp.where(padlive[:, None], coeff_c, 0.0)
+                ro_c, rd_c = _park_dead(ro_c, rd_c,
+                                        padlive & jnp.any(coeff_c > 0.0, axis=-1))
+
+                hit = closest_hit(scene, ro_c, rd_c, cfg, pack=pack)
+                contrib, (ro_rc, rd_rc, coeff_rc), _ = _children(
+                    scene, hit, ro_c, rd_c, coeff_c, cfg, pack=pack)
+
+                # scatter-back as a gather (duplicate-free, deterministic):
+                # full tile i reads compacted slot pos[i] when live
+                posc = jnp.clip(pos, 0, cap - 1)
+
+                def back(xc, default):
+                    xt = xc.reshape(cap, tile, 3)[posc]          # (nt, tile, 3)
+                    return jnp.where(tl[:, None, None], xt, default).reshape(r, 3)
+
+                park_d = jnp.zeros((3,), ro_f.dtype).at[0].set(1.0)
+                return (back(ro_rc, jnp.asarray(PARK_DISTANCE, ro_f.dtype)),
+                        back(rd_rc, park_d[None, None, :]),
+                        back(coeff_rc, 0.0),
+                        accum + back(contrib, 0.0))
+            return br
+
+        branches = [branch(c) for c in caps]
+
         def step(carry, _):
-            ro, rd, coeff, accum, nrays = carry
-            nrays = nrays + count_rays(coeff)
-            hit = closest_hit(scene, ro, rd, cfg, pack=pack)
-            contrib, (ro_r, rd_r, coeff_r), _ = _children(scene, hit, ro, rd, coeff,
-                                                          cfg, pack=pack)
-            return (ro_r, rd_r, coeff_r, accum + contrib, nrays), None
+            ro_f, rd_f, coeff_f, accum, nrays = carry
+            nrays = nrays + count_rays(coeff_f)
+            live = jnp.any(coeff_f > 0.0, axis=-1)
+            tl = jnp.any(live.reshape(nt, tile), axis=1)
+            cnt = jnp.sum(tl, dtype=jnp.int32)
+            pos = jnp.cumsum(tl.astype(jnp.int32)) - 1
+            b = jnp.sum(cnt <= caps_arr) if len(caps) > 1 else jnp.zeros((), jnp.int32)
+            ro_n, rd_n, coeff_n, accum = lax.switch(
+                b, branches, (ro_f, rd_f, coeff_f, accum, tl, pos, cnt))
+            return (ro_n, rd_n, coeff_n, accum, nrays), None
 
         init = (ro, rd, coeff, jnp.zeros_like(ro), jnp.zeros((), jnp.float32))
         (ro_f, rd_f, coeff_f, accum, nrays), _ = lax.scan(step, init, None, length=cfg.max_depth + 1)
