@@ -36,7 +36,6 @@ def main():
     from realtrace_tpu.ops import accel
     from realtrace_tpu.ops.intersect import closest_hit
     from realtrace_tpu.ops.pallas import trace as ptrace
-    from realtrace_tpu.render.pipeline import _tile_perm
 
     width, height = 1920, 1080
     cfg = RenderConfig(max_depth=3, accel="pallas", chunk_size=64)
@@ -44,10 +43,8 @@ def main():
         texture_path="/root/reference/Serial/bob_diffuse.png", dtype=jnp.float32)
     scene = accel.with_chunks(scene, cfg)
     camera = scenes.make_camera(cam, width, height, dtype=jnp.float32)
-    ro = camera.ray_origins()
-    rd = camera.ray_directions()
-    perm, _ = _tile_perm(width, height)
-    ro, rd = jnp.asarray(ro[perm]), jnp.asarray(rd[perm])
+    from realtrace_tpu.render.pipeline import _tiled_rays
+    ro, rd, _, _ = _tiled_rays(camera)
     pack = ptrace.build_pack(scene, cfg)
     jax.block_until_ready(pack.b)
 

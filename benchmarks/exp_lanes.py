@@ -23,7 +23,6 @@ def main():
     from realtrace_tpu.core.types import RenderConfig
     from realtrace_tpu.ops import accel
     from realtrace_tpu.ops.pallas import trace as ptrace
-    from realtrace_tpu.render.pipeline import _tile_perm
 
     width, height = 1920, 1080
     cfg = RenderConfig(max_depth=3, accel="pallas", chunk_size=64)
@@ -31,10 +30,8 @@ def main():
         texture_path="/root/reference/Serial/bob_diffuse.png", dtype=jnp.float32)
     scene = accel.with_chunks(scene, cfg)
     camera = scenes.make_camera(cam, width, height, dtype=jnp.float32)
-    ro = camera.ray_origins()
-    rd = camera.ray_directions()
-    perm, _ = _tile_perm(width, height)
-    ro, rd = jnp.asarray(ro[perm]), jnp.asarray(rd[perm])
+    from realtrace_tpu.render.pipeline import _tiled_rays
+    ro, rd, _, _ = _tiled_rays(camera)
 
     for lanes in (1024, 2048, 4096):
         ptrace.LANES = lanes

@@ -42,7 +42,6 @@ def main():
     from realtrace_tpu.ops.intersect import closest_hit
     from realtrace_tpu.ops.pallas import trace as ptrace
     from realtrace_tpu.render import shade
-    from realtrace_tpu.render.pipeline import _tile_perm
 
     width, height = 1920, 1080
     precision = os.environ.get("RT_PROF_PRECISION", "highest")
@@ -54,10 +53,8 @@ def main():
     scene = accel.with_chunks(scene, cfg)
     camera = scenes.make_camera(cam, width, height, dtype=jnp.float32)
 
-    ro = camera.ray_origins()
-    rd = camera.ray_directions()
-    perm, _ = _tile_perm(width, height)
-    ro, rd = jnp.asarray(ro[perm]), jnp.asarray(rd[perm])
+    from realtrace_tpu.render.pipeline import _tiled_rays
+    ro, rd, _, _ = _tiled_rays(camera)
     print(f"rays: {ro.shape[0]/1e6:.2f}M  tris: {scene.n_triangles}  "
           f"chunk={cfg.chunk_size} precision={precision}")
 

@@ -13,43 +13,67 @@ import jax.numpy as jnp
 import numpy as np
 from jax import Array
 
-from realtrace_tpu.core.types import RenderConfig, Scene
+from realtrace_tpu.core.types import PARK_DISTANCE, WAVEFRONT_TILE, RenderConfig, Scene
 from realtrace_tpu.render.camera import Camera, image_from_buffer
 from realtrace_tpu.render.shade import trace_wavefront
-
-WAVEFRONT_TILE = 1024  # rays per accel kernel tile (ops/pallas/trace.LANES)
 
 
 @functools.lru_cache(maxsize=16)
 def _tile_perm(width: int, height: int):
-    """Pixel permutation grouping each run of WAVEFRONT_TILE rays into a
-    spatially compact tile (e.g. 8 rows x 128 cols at 1080p) instead of a
-    scanline strip — 3-4x fewer visible accel chunks per kernel tile.
-    Returns (perm, inv_perm) numpy arrays, or (None, None) when no tiling
-    divides the image.
+    """Pixel→wavefront permutation grouping each run of WAVEFRONT_TILE rays
+    into a spatially compact 32x32 pixel tile (vs a scanline strip): fewer
+    visible accel chunks per kernel tile AND finer-grained inter-level
+    compaction. The image is padded up to the tile grid; pad slots carry -1
+    and render as parked zero-coefficient rays (zero accel work, not counted
+    in ray stats).
+
+    Returns (perm, inv): perm (Hp*Wp,) int64 = original buffer index or -1;
+    inv (H*W,) int64 = tile-major position of each original pixel.
     """
-    for th in (32, 16, 8, 4, 2):
-        tw = WAVEFRONT_TILE // th
-        if height % th == 0 and width % tw == 0:
-            idx = np.arange(height * width).reshape(height, width)
-            perm = (idx.reshape(height // th, th, width // tw, tw)
-                    .transpose(0, 2, 1, 3).reshape(-1))
-            inv = np.empty_like(perm)
-            inv[perm] = np.arange(perm.size)
-            return perm, inv
-    return None, None
+    th = tw = 32
+    assert th * tw == WAVEFRONT_TILE
+    hp = -(-height // th) * th
+    wp = -(-width // tw) * tw
+    idx = np.full((hp, wp), -1, np.int64)
+    jj, ii = np.meshgrid(np.arange(height), np.arange(width), indexing="ij")
+    idx[:height, :width] = ii + jj * width
+    perm = (idx.reshape(hp // th, th, wp // tw, tw)
+            .transpose(0, 2, 1, 3).reshape(-1))
+    inv = np.empty(height * width, np.int64)
+    pos = np.nonzero(perm >= 0)[0]
+    inv[perm[pos]] = pos
+    return perm, inv
+
+
+def _tiled_rays(camera: Camera):
+    """Tile-major padded wavefront inputs: (ro, rd, coeff, inv).
+
+    ``coeff`` is None when the image divides the tile grid exactly (no pad);
+    otherwise zero on pad slots so they are parked from level 0.
+    """
+    ro = camera.ray_origins()
+    rd = camera.ray_directions()
+    perm, inv = _tile_perm(camera.width, camera.height)
+    if perm.size == ro.shape[0]:        # exact tiling, no padding
+        return ro[perm], rd[perm], None, inv
+    valid = perm >= 0
+    safe = np.maximum(perm, 0)
+    dt = ro.dtype
+    vmask = jnp.asarray(valid[:, None])
+    ro_p = jnp.where(vmask, ro[safe], jnp.asarray(PARK_DISTANCE, dt))
+    park_d = jnp.zeros((3,), dt).at[0].set(1.0)
+    rd_p = jnp.where(vmask, rd[safe], park_d[None, :])
+    coeff = jnp.where(vmask, jnp.ones((), dt), jnp.zeros((), dt))
+    coeff = jnp.broadcast_to(coeff, (perm.size, 3))
+    return ro_p, rd_p, coeff, inv
 
 
 def render_buffer(scene: Scene, camera: Camera, cfg: RenderConfig,
                   branching: bool | None = None) -> Array:
     """Render to a flat (H*W, 3) linear color buffer (unclamped)."""
-    ro = camera.ray_origins()
-    rd = camera.ray_directions()
-    perm, inv = _tile_perm(camera.width, camera.height)
-    if perm is not None:
-        ro, rd = ro[perm], rd[perm]
-    buf = trace_wavefront(scene, ro, rd, cfg, branching=branching)
-    return buf[inv] if perm is not None else buf
+    ro, rd, coeff, inv = _tiled_rays(camera)
+    buf = trace_wavefront(scene, ro, rd, cfg, branching=branching, coeff=coeff)
+    return buf[inv]
 
 
 def render_image(scene: Scene, camera: Camera, cfg: RenderConfig,
@@ -68,15 +92,10 @@ def render_with_stats(scene: Scene, camera: Camera, cfg: RenderConfig,
     the Mrays/s benchmark metric (replaces the reference FPS counter,
     Parellel/main.cu:79-85).
     """
-    ro = camera.ray_origins()
-    rd = camera.ray_directions()
-    perm, inv = _tile_perm(camera.width, camera.height)
-    if perm is not None:
-        ro, rd = ro[perm], rd[perm]
-    accum, nrays = trace_wavefront(scene, ro, rd, cfg, branching=branching, with_stats=True)
-    if perm is not None:
-        accum = accum[inv]
-    img = jnp.clip(image_from_buffer(accum, camera), 0.0, 1.0)
+    ro, rd, coeff, inv = _tiled_rays(camera)
+    accum, nrays = trace_wavefront(scene, ro, rd, cfg, branching=branching,
+                                   coeff=coeff, with_stats=True)
+    img = jnp.clip(image_from_buffer(accum[inv], camera), 0.0, 1.0)
     return img, nrays
 
 
