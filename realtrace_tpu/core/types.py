@@ -252,3 +252,8 @@ class RenderConfig:
     # exact, shape-static, and the XLA shading work shrinks with the wavefront
     compact_levels: bool = True
     compact_buckets: int = 6               # capacities nt, nt/2, ..., nt/2^(b-1)
+    # re-tile compacted secondary wavefronts by a spatial Morton/octant key so
+    # the accel's per-tile interval masks stay tight after a bounce.
+    # Default OFF: on TPU the sort+permute apparatus measured ~+37ms/frame at
+    # 1080p — more than the sweep time it saves (see docs/KERNEL.md).
+    reorder_secondary: bool = False

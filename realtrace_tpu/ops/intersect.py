@@ -186,15 +186,14 @@ def _family_min(cands):
     return t, fam, idx
 
 
-def closest_hit(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
-                pack=None) -> Hit:
-    """Nearest hit over all primitive families, with differentiable attribute
-    recomputation. The wavefront analog of ``World::firstIntersection``
-    (Serial/world.cpp:5-17). ``pack`` is the optional precomputed AccelPack
-    (pallas mode), built once per frame by the wavefront loop.
-    """
-    r = ro.shape[0]
-    dt = ro.dtype
+def closest_query(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
+                  pack=None):
+    """Forward-only nearest-hit SELECTION over all primitive families:
+    ``(t_fwd, fam, idx)`` per ray (idx is family-local; triangles in pallas
+    mode are SORTED-space — ``hit_attributes`` maps back). Split from the
+    attribute recompute so callers can compact the (expensive, differentiable)
+    shading to hit tiles only. The discrete part of
+    ``World::firstIntersection`` (Serial/world.cpp:5-17)."""
     i32 = jnp.int32
 
     cands = []
@@ -225,6 +224,19 @@ def closest_hit(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
     t_fwd, fam, idx = _family_min(cands)
     valid = fam != FAM_NONE
     idx = jnp.where(valid, idx, 0)  # safe gather index
+    return t_fwd, fam, idx
+
+
+def hit_attributes(scene: Scene, ro: Array, rd: Array, t_fwd: Array, fam: Array,
+                   idx: Array, cfg: RenderConfig, pack=None) -> Hit:
+    """Differentiable attribute recomputation for a selected hit
+    ``(t_fwd, fam, idx)`` (from ``closest_query``): position, normal,
+    barycentric color, material scalars — recomputed from the original scene
+    arrays so gradients flow while visibility stays fixed (SURVEY §7 (c))."""
+    r = ro.shape[0]
+    dt = ro.dtype
+    i32 = jnp.int32
+    valid = fam != FAM_NONE
 
     # ---- differentiable recomputation per family ------------------------
     zero3 = jnp.zeros((r, 3), dt)
@@ -346,6 +358,17 @@ def closest_hit(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
     return Hit(valid=valid, t=t_final, family=fam, index=jnp.where(valid, index_out, -1),
                position=jnp.where(valid[:, None], position, 0.0),
                normal=normal, color=color, **mats)
+
+
+def closest_hit(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
+                pack=None) -> Hit:
+    """Nearest hit over all primitive families, with differentiable attribute
+    recomputation. The wavefront analog of ``World::firstIntersection``
+    (Serial/world.cpp:5-17). ``pack`` is the optional precomputed AccelPack
+    (pallas mode), built once per frame by the wavefront loop.
+    """
+    t_fwd, fam, idx = closest_query(scene, ro, rd, cfg, pack=pack)
+    return hit_attributes(scene, ro, rd, t_fwd, fam, idx, cfg, pack=pack)
 
 
 def any_hit(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,

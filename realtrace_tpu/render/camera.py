@@ -71,6 +71,21 @@ class Camera:
     def ray_origins(self) -> Array:
         return jnp.broadcast_to(self.position, (self.height * self.width, 3))
 
+    def ray_directions_at(self, i_idx, j_idx) -> Array:
+        """Ray directions for explicit pixel coordinate arrays: ``i_idx``
+        columns, ``j_idx`` rows-from-bottom, each (R,). Lets the pipeline
+        generate rays DIRECTLY in tile-major order — pure elementwise math,
+        no post-hoc permutation gather. Same formula as ray_directions
+        (Serial/camera.cpp:33-44)."""
+        dt = self.position.dtype
+        u, v, w = self.basis()
+        aspect = self.width / self.height
+        focal = 1.0 / (2.0 * jnp.tan(self.fovy * (math.pi / 180.0) / 2.0))
+        xw = aspect * (jnp.asarray(i_idx, dt) - self.width / 2.0 + 0.5) / self.width
+        yw = (jnp.asarray(j_idx, dt) - self.height / 2.0 + 0.5) / self.height
+        d = (-w)[None, :] * focal + u[None, :] * xw[:, None] + v[None, :] * yw[:, None]
+        return vec.normalize(d)
+
     def ray_directions_tile(self, i0, j0, tile_w: int, tile_h: int) -> Array:
         """Ray directions for the pixel tile [i0, i0+tile_w) x [j0, j0+tile_h)
         as (tile_h*tile_w, 3) — the unit of multi-chip pixel-tile sharding.

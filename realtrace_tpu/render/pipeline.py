@@ -19,53 +19,62 @@ from realtrace_tpu.render.shade import trace_wavefront
 
 
 @functools.lru_cache(maxsize=16)
-def _tile_perm(width: int, height: int):
-    """Pixel→wavefront permutation grouping each run of WAVEFRONT_TILE rays
-    into a spatially compact 32x32 pixel tile (vs a scanline strip): fewer
-    visible accel chunks per kernel tile AND finer-grained inter-level
-    compaction. The image is padded up to the tile grid; pad slots carry -1
-    and render as parked zero-coefficient rays (zero accel work, not counted
-    in ray stats).
+def _tile_maps(width: int, height: int):
+    """Tile-major pixel maps: each run of WAVEFRONT_TILE wavefront slots is a
+    spatially compact 32x32 pixel tile (vs a scanline strip) — fewer visible
+    accel chunks per kernel tile AND finer-grained inter-level compaction.
+    The image is padded up to the tile grid; pad slots render as parked
+    zero-coefficient rays (zero accel work, not counted in ray stats).
 
-    Returns (perm, inv): perm (Hp*Wp,) int64 = original buffer index or -1;
-    inv (H*W,) int64 = tile-major position of each original pixel.
+    Returns (ii, jj, valid, inv): per padded wavefront slot the pixel column
+    ``ii`` and row-from-bottom ``jj`` (int32, 0 on pads), ``valid`` bool, and
+    ``inv`` (H*W,) = wavefront position of each original buffer index — rays
+    are GENERATED in tile-major order, so there is no forward permutation.
     """
     th = tw = 32
     assert th * tw == WAVEFRONT_TILE
     hp = -(-height // th) * th
     wp = -(-width // tw) * tw
-    idx = np.full((hp, wp), -1, np.int64)
-    jj, ii = np.meshgrid(np.arange(height), np.arange(width), indexing="ij")
-    idx[:height, :width] = ii + jj * width
-    perm = (idx.reshape(hp // th, th, wp // tw, tw)
-            .transpose(0, 2, 1, 3).reshape(-1))
-    inv = np.empty(height * width, np.int64)
-    pos = np.nonzero(perm >= 0)[0]
-    inv[perm[pos]] = pos
-    return perm, inv
+
+    def tilemajor(grid):
+        return (grid.reshape(hp // th, th, wp // tw, tw)
+                .transpose(0, 2, 1, 3).reshape(-1))
+
+    jj_g, ii_g = np.meshgrid(np.arange(hp), np.arange(wp), indexing="ij")
+    ii = tilemajor(ii_g)
+    jj = tilemajor(jj_g)
+    valid = (ii < width) & (jj < height)
+    pos = tilemajor(np.arange(hp * wp).reshape(hp, wp))  # slot -> ...
+    padpos = np.empty(hp * wp, np.int64)                 # grid linear -> slot
+    padpos[pos] = np.arange(hp * wp)
+    padpos = padpos.reshape(hp, wp)
+    inv = padpos[:height, :width].reshape(-1)            # (j, i) -> slot
+    ii = np.where(valid, ii, 0).astype(np.int32)
+    jj = np.where(valid, jj, 0).astype(np.int32)
+    return ii, jj, valid, inv
 
 
 def _tiled_rays(camera: Camera):
     """Tile-major padded wavefront inputs: (ro, rd, coeff, inv).
 
-    ``coeff`` is None when the image divides the tile grid exactly (no pad);
-    otherwise zero on pad slots so they are parked from level 0.
+    Rays are generated directly at tile-major pixel coordinates (pure
+    elementwise math — no permutation gather). ``coeff`` is None when the
+    image divides the tile grid exactly (no padding); otherwise zero on pad
+    slots so they are parked from level 0.
     """
-    ro = camera.ray_origins()
-    rd = camera.ray_directions()
-    perm, inv = _tile_perm(camera.width, camera.height)
-    if perm.size == ro.shape[0]:        # exact tiling, no padding
-        return ro[perm], rd[perm], None, inv
-    valid = perm >= 0
-    safe = np.maximum(perm, 0)
-    dt = ro.dtype
+    ii, jj, valid, inv = _tile_maps(camera.width, camera.height)
+    rd = camera.ray_directions_at(ii, jj)
+    dt = rd.dtype
+    ro = jnp.broadcast_to(camera.position, rd.shape)
+    if valid.all():
+        return ro, rd, None, inv
     vmask = jnp.asarray(valid[:, None])
-    ro_p = jnp.where(vmask, ro[safe], jnp.asarray(PARK_DISTANCE, dt))
+    ro = jnp.where(vmask, ro, jnp.asarray(PARK_DISTANCE, dt))
     park_d = jnp.zeros((3,), dt).at[0].set(1.0)
-    rd_p = jnp.where(vmask, rd[safe], park_d[None, :])
-    coeff = jnp.where(vmask, jnp.ones((), dt), jnp.zeros((), dt))
-    coeff = jnp.broadcast_to(coeff, (perm.size, 3))
-    return ro_p, rd_p, coeff, inv
+    rd = jnp.where(vmask, rd, park_d[None, :])
+    coeff = jnp.broadcast_to(jnp.where(vmask, jnp.ones((), dt), jnp.zeros((), dt)),
+                             (valid.size, 3))
+    return ro, rd, coeff, inv
 
 
 def render_buffer(scene: Scene, camera: Camera, cfg: RenderConfig,

@@ -20,7 +20,8 @@ from jax import Array, lax
 from realtrace_tpu.core import vec
 from realtrace_tpu.core.types import (PARK_DISTANCE, WAVEFRONT_TILE,
                                       RenderConfig, Scene)
-from realtrace_tpu.ops.intersect import Hit, any_hit, closest_hit
+from realtrace_tpu.ops.intersect import (FAM_NONE, Hit, any_hit, closest_hit,
+                                         closest_query, hit_attributes)
 
 
 def phong_pow(d: Array, e: int) -> Array:
@@ -56,6 +57,37 @@ def light_shade(position: Array, normal: Array, view: Array, color: Array,
     out = (kd[:, None, None] * diffuse[..., None] * li[None] * color[:, None, :]
            + ks[:, None, None] * spec[..., None] * li[None])
     return jnp.sum(out, axis=1)                            # (R,3)
+
+
+def _coherence_key(ro: Array, rd: Array, lo: Array, hi: Array, live: Array) -> Array:
+    """uint32 sort key that re-tiles an incoherent secondary wavefront into
+    spatially coherent 1024-ray tiles: Morton code of the quantized ray
+    origin (coarse bits most significant) with the direction octant injected
+    below them. Dead/parked lanes get the max key so they pack into all-dead
+    tail tiles (zero accel work). Bounds ``lo``/``hi`` are the scene AABB.
+
+    This is what keeps the interval chunk masks tight after a bounce: raw
+    reflection wavefronts mix origins/directions within a pixel tile and the
+    per-tile slab test degrades to ~all chunks (measured 61-95 of 167 on bob
+    level>=1 vs 0.86 at level 0).
+    """
+    u32 = jnp.uint32
+    ext = jnp.maximum(hi - lo, 1e-30)
+    q = jnp.clip((ro - lo[None]) / ext[None] * 1023.0, 0.0, 1023.0).astype(u32)
+
+    def spread(v):  # 10-bit -> every 3rd bit of 30
+        v = (v | (v << u32(16))) & u32(0x030000FF)
+        v = (v | (v << u32(8))) & u32(0x0300F00F)
+        v = (v | (v << u32(4))) & u32(0x030C30C3)
+        v = (v | (v << u32(2))) & u32(0x09249249)
+        return v
+
+    m = spread(q[:, 0]) | (spread(q[:, 1]) << u32(1)) | (spread(q[:, 2]) << u32(2))
+    octant = ((rd[:, 0] > 0).astype(u32)
+              | ((rd[:, 1] > 0).astype(u32) << u32(1))
+              | ((rd[:, 2] > 0).astype(u32) << u32(2)))
+    key = ((m >> u32(12)) << u32(12)) | (octant << u32(9)) | ((m >> u32(3)) & u32(0x1FF))
+    return jnp.where(live, key, u32(0xFFFFFFFF))
 
 
 def _park_dead(ro: Array, rd: Array, live: Array) -> tuple[Array, Array]:
@@ -111,7 +143,7 @@ def local_color(scene: Scene, hit: Hit, rd: Array, cfg: RenderConfig,
 
 
 def _children(scene: Scene, hit: Hit, ro: Array, rd: Array, coeff: Array,
-               cfg: RenderConfig, pack=None):
+               cfg: RenderConfig, pack=None, miss_background: bool = True):
     """One wavefront step: local contribution + (reflect, refract) children.
 
     Returns (contrib, (ro_r, rd_r, coeff_r), (ro_t, rd_t, coeff_t)).
@@ -133,7 +165,9 @@ def _children(scene: Scene, hit: Hit, ro: Array, rd: Array, coeff: Array,
     lc = local_color(scene, hit, rd, cfg, live=valid, pack=pack)
     # miss → background; dielectric → no local term (Serial/world.cpp:100 returns children only)
     contrib = jnp.where(valid[:, None] & ~is_diel[:, None], coeff * lc, 0.0)
-    contrib = contrib + jnp.where((active & ~hit.valid)[:, None], coeff * scene.background[None], 0.0)
+    if miss_background:
+        contrib = contrib + jnp.where((active & ~hit.valid)[:, None],
+                                      coeff * scene.background[None], 0.0)
 
     # ---- reflection child (shared by dielectric + reflective paths) ------
     r_dir = vec.reflect(i, n)
@@ -197,9 +231,15 @@ def trace_wavefront(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
         from realtrace_tpu.ops.pallas import trace as _ptrace
         pack = _ptrace.build_pack(scene, cfg)
 
-    def count_rays(coeff_arr):
+    def count_rays(coeff_arr, hit):
+        """Rays actually traced this level: one closest-hit query per active
+        lane, plus one shadow ray per light per VALID hit (shadow rays for
+        missed/parked lanes are parked — never traced). Ref: the serial
+        shader casts shadow rays only inside the hit branch
+        (Serial/world.cpp:40-51)."""
         active = jnp.any(coeff_arr > 0.0, axis=-1)
-        return jnp.sum(active.astype(jnp.float32)) * (1.0 + nl)
+        prim = jnp.sum(active.astype(jnp.float32))
+        return prim + nl * jnp.sum((active & hit.valid).astype(jnp.float32))
 
     if not branching:
         r = ro.shape[0]
@@ -210,8 +250,8 @@ def trace_wavefront(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
         if not compact:
             def step(carry, _):
                 ro, rd, coeff, accum, nrays = carry
-                nrays = nrays + count_rays(coeff)
                 hit = closest_hit(scene, ro, rd, cfg, pack=pack)
+                nrays = nrays + count_rays(coeff, hit)
                 contrib, (ro_r, rd_r, coeff_r), _ = _children(scene, hit, ro, rd, coeff,
                                                               cfg, pack=pack)
                 return (ro_r, rd_r, coeff_r, accum + contrib, nrays), None
@@ -249,12 +289,100 @@ def trace_wavefront(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
                 # their energy and park their rays (zero contribution + work)
                 padlive = jnp.repeat(jnp.arange(cap, dtype=jnp.int32) < cnt, tile)
                 coeff_c = jnp.where(padlive[:, None], coeff_c, 0.0)
-                ro_c, rd_c = _park_dead(ro_c, rd_c,
-                                        padlive & jnp.any(coeff_c > 0.0, axis=-1))
+                lane_live = padlive & jnp.any(coeff_c > 0.0, axis=-1)
+                ro_c, rd_c = _park_dead(ro_c, rd_c, lane_live)
 
-                hit = closest_hit(scene, ro_c, rd_c, cfg, pack=pack)
-                contrib, (ro_rc, rd_rc, coeff_rc), _ = _children(
-                    scene, hit, ro_c, rd_c, coeff_c, cfg, pack=pack)
+                # secondary wavefronts are incoherent within pixel tiles:
+                # re-tile by spatial coherence key so the accel's interval
+                # masks stay tight (and dead lanes pack into dead tail tiles)
+                reorder = (pack is not None and cfg.reorder_secondary
+                           and cap * 4 <= nt)
+                if reorder:
+                    key = _coherence_key(lax.stop_gradient(ro_c),
+                                         lax.stop_gradient(rd_c),
+                                         pack.scene_lo, pack.scene_hi, lane_live)
+                    order = jnp.argsort(key).astype(jnp.int32)
+                    inv_order = jnp.zeros_like(order).at[order].set(
+                        jnp.arange(order.shape[0], dtype=jnp.int32))
+                    ro_c, rd_c, coeff_c = ro_c[order], rd_c[order], coeff_c[order]
+
+                # level 0 runs full width but typically hits few tiles (bob at
+                # 1080p: 106 of 2040) — compact the EXPENSIVE differentiable
+                # part (attribute recompute + Phong + shadow query + child
+                # math) to the hit tiles with an inner switch, keeping only
+                # the forward query + background blend at full width.
+                inner = cap == nt and nt >= 16 and not reorder
+                if inner:
+                    t_f, fam, idx = closest_query(scene, ro_c, rd_c, cfg, pack=pack)
+                    active = jnp.any(coeff_c > 0.0, axis=-1)
+                    validm = (fam != FAM_NONE) & active
+                    n_traced = (jnp.sum(active.astype(jnp.float32))
+                                + nl * jnp.sum(validm.astype(jnp.float32)))
+                    hit_tl = jnp.any(validm.reshape(cap, tile), axis=1)
+                    cnt2 = jnp.sum(hit_tl, dtype=jnp.int32)
+                    pos2 = jnp.cumsum(hit_tl.astype(jnp.int32)) - 1
+                    caps2 = [cap]
+                    while len(caps2) < 4:
+                        nxt = max((caps2[-1] + 3) // 4, 1)
+                        if nxt == caps2[-1]:
+                            break
+                        caps2.append(nxt)
+                    caps2_arr = jnp.asarray(caps2[1:], jnp.int32)
+
+                    def branch2(c2: int):
+                        def br2(op):
+                            ro_i, rd_i, coeff_i, t_i, fam_i, idx_i = op
+                            tidx2 = jnp.nonzero(hit_tl, size=c2, fill_value=0)[0].astype(jnp.int32)
+
+                            def g3b(x):
+                                return x.reshape(cap, tile, 3)[tidx2].reshape(c2 * tile, 3)
+
+                            def g1b(x):
+                                return x.reshape(cap, tile)[tidx2].reshape(c2 * tile)
+
+                            ro2, rd2, coeff2 = g3b(ro_i), g3b(rd_i), g3b(coeff_i)
+                            t2, fam2, idx2 = g1b(t_i), g1b(fam_i), g1b(idx_i)
+                            padlive2 = jnp.repeat(jnp.arange(c2, dtype=jnp.int32) < cnt2, tile)
+                            coeff2 = jnp.where(padlive2[:, None], coeff2, 0.0)
+                            fam2 = jnp.where(padlive2, fam2, FAM_NONE)
+                            hit2 = hit_attributes(scene, ro2, rd2, t2, fam2, idx2,
+                                                  cfg, pack=pack)
+                            contrib2, (ror, rdr, cr), _ = _children(
+                                scene, hit2, ro2, rd2, coeff2, cfg, pack=pack,
+                                miss_background=False)
+                            posc2 = jnp.clip(pos2, 0, c2 - 1)
+
+                            def back2(xc, default):
+                                xt = xc.reshape(c2, tile, 3)[posc2]
+                                return jnp.where(hit_tl[:, None, None], xt,
+                                                 default).reshape(cap * tile, 3)
+
+                            park2 = jnp.zeros((3,), ro_i.dtype).at[0].set(1.0)
+                            return (back2(contrib2, 0.0),
+                                    back2(ror, jnp.asarray(PARK_DISTANCE, ro_i.dtype)),
+                                    back2(rdr, park2[None, None, :]),
+                                    back2(cr, 0.0))
+                        return br2
+
+                    b2 = (jnp.sum(cnt2 <= caps2_arr) if len(caps2) > 1
+                          else jnp.zeros((), jnp.int32))
+                    contrib, ro_rc, rd_rc, coeff_rc = lax.switch(
+                        b2, [branch2(c2) for c2 in caps2],
+                        (ro_c, rd_c, coeff_c, t_f, fam, idx))
+                    # background for every active miss (inside or outside hit
+                    # tiles — the inner _children skips it)
+                    miss = active & (fam == FAM_NONE)
+                    contrib = contrib + jnp.where(miss[:, None],
+                                                  coeff_c * scene.background[None], 0.0)
+                else:
+                    hit = closest_hit(scene, ro_c, rd_c, cfg, pack=pack)
+                    n_traced = count_rays(coeff_c, hit)
+                    contrib, (ro_rc, rd_rc, coeff_rc), _ = _children(
+                        scene, hit, ro_c, rd_c, coeff_c, cfg, pack=pack)
+                    if reorder:
+                        contrib, ro_rc, rd_rc, coeff_rc = (
+                            contrib[inv_order], ro_rc[inv_order],
+                            rd_rc[inv_order], coeff_rc[inv_order])
 
                 # scatter-back as a gather (duplicate-free, deterministic):
                 # full tile i reads compacted slot pos[i] when live
@@ -268,22 +396,22 @@ def trace_wavefront(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
                 return (back(ro_rc, jnp.asarray(PARK_DISTANCE, ro_f.dtype)),
                         back(rd_rc, park_d[None, None, :]),
                         back(coeff_rc, 0.0),
-                        accum + back(contrib, 0.0))
+                        accum + back(contrib, 0.0),
+                        n_traced)
             return br
 
         branches = [branch(c) for c in caps]
 
         def step(carry, _):
             ro_f, rd_f, coeff_f, accum, nrays = carry
-            nrays = nrays + count_rays(coeff_f)
             live = jnp.any(coeff_f > 0.0, axis=-1)
             tl = jnp.any(live.reshape(nt, tile), axis=1)
             cnt = jnp.sum(tl, dtype=jnp.int32)
             pos = jnp.cumsum(tl.astype(jnp.int32)) - 1
             b = jnp.sum(cnt <= caps_arr) if len(caps) > 1 else jnp.zeros((), jnp.int32)
-            ro_n, rd_n, coeff_n, accum = lax.switch(
+            ro_n, rd_n, coeff_n, accum, n_traced = lax.switch(
                 b, branches, (ro_f, rd_f, coeff_f, accum, tl, pos, cnt))
-            return (ro_n, rd_n, coeff_n, accum, nrays), None
+            return (ro_n, rd_n, coeff_n, accum, nrays + n_traced), None
 
         init = (ro, rd, coeff, jnp.zeros_like(ro), jnp.zeros((), jnp.float32))
         (ro_f, rd_f, coeff_f, accum, nrays), _ = lax.scan(step, init, None, length=cfg.max_depth + 1)
@@ -297,8 +425,8 @@ def trace_wavefront(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
     for level in range(cfg.max_depth + 1):
         new_rays = []
         for (o, d, cf) in rays:
-            nrays = nrays + count_rays(cf)
             hit = closest_hit(scene, o, d, cfg, pack=pack)
+            nrays = nrays + count_rays(cf, hit)
             contrib, child_r, child_t = _children(scene, hit, o, d, cf, cfg, pack=pack)
             accum = accum + contrib
             new_rays.append(child_r)
