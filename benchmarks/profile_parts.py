@@ -67,15 +67,16 @@ def main():
     # --- stage: chunk mask + compaction -----------------------------------
     nt = ro.shape[0] // ptrace.LANES
     mask_fn = jax.jit(lambda o, d: ptrace._chunk_mask(o, d, pack.lo, pack.hi, nt))
-    chunk_list, counts = timeit("chunk mask + argsort compaction", mask_fn, ro, rd)
+    chunk_list, entry, counts = timeit("chunk mask + argsort compaction", mask_fn, ro, rd)
     print(f"    mean visible chunks/tile: {float(jnp.sum(counts))/nt:.2f} of {pack.lo.shape[0]}")
 
     # --- stage: sweep kernel (closest) ------------------------------------
-    def sweep(feat, cl, cnt):
-        return ptrace._sweep(pack.meta, cl, cnt, feat, pack.b, cfg.chunk_size,
+    def sweep(feat, cl, ent, cnt):
+        return ptrace._sweep(pack.meta, cl, cnt, ent, feat, pack.b, cfg.chunk_size,
                              float(cfg.det_epsilon), float(cfg.smallest_dist),
                              False, False, precision, pack.resident)
-    t, idx = timeit("sweep kernel (closest, primary rays)", jax.jit(sweep), feats, chunk_list, counts)
+    t, idx = timeit("sweep kernel (closest, primary rays)", jax.jit(sweep), feats,
+                    chunk_list, entry, counts)
 
     # --- stage: full closest query (features+mask+sweep+epilogue) ----------
     q = jax.jit(lambda o, d: ptrace.closest_triangle(scene, o, d, cfg, pack=pack, raw_idx=True))

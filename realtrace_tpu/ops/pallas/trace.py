@@ -100,6 +100,13 @@ def _recenter(a, a2_scratch, m, meta_ref):
     a2_scratch[9:10] = a[9:10] - (rdx * gy - rdy * gx)
 
 
+def _live_max_t(best_t, parked):
+    """Scalar upper bound on any live lane's current nearest hit: parked
+    lanes (BIG best_t, never updated) are excluded so they cannot block the
+    front-to-back early exit."""
+    return jnp.max(jnp.where(parked, 0.0, best_t))
+
+
 def _reduce_update(p, best_t, best_i, m, c, det_eps, t_min, any_mode):
     """Shared epilogue: validity test + per-ray nearest-hit update from the
     matmul result p (4C, LANES)."""
@@ -124,14 +131,21 @@ def _reduce_update(p, best_t, best_i, m, c, det_eps, t_min, any_mode):
             jnp.where(upd, m * c + amin, best_i))
 
 
-def _kernel_resident(meta_ref, list_ref, count_ref, feat_ref, b_ref,
+def _kernel_resident(meta_ref, list_ref, count_ref, entry_ref, feat_ref, b_ref,
                      out_t_ref, out_i_ref, b_vmem, a2_scratch, dma_sem, *,
                      chunk_size: int, det_eps: float, t_min: float,
                      any_mode: bool, precision):
     """VMEM-resident variant: the whole constants table (FEAT, M*4C) is DMA'd
     into persistent scratch once (grid step 0) and lane-sliced per chunk —
     zero per-chunk HBM traffic. The transposed-LHS contraction is a native
-    MXU mode (the stationary operand loads transposed for free)."""
+    MXU mode (the stationary operand loads transposed for free).
+
+    The visible-chunk list arrives sorted FRONT-TO-BACK by each chunk's
+    conservative tile-entry bound (entry_ref); the sweep exits as soon as
+    every remaining chunk lies beyond every live lane's nearest hit — the
+    exact-version of the reference DDA's first-hit-voxel break
+    (Serial/uniform-grid.cpp:251). any_mode additionally exits once every
+    live lane is occluded (shadow rays want ANY hit, not the nearest)."""
     c = chunk_size
     fc = 4 * c
     a = feat_ref[:]                                  # (FEAT, LANES)
@@ -146,8 +160,13 @@ def _kernel_resident(meta_ref, list_ref, count_ref, feat_ref, b_ref,
     a2_scratch[0:1] = a[0:1]
     a2_scratch[4:7] = a[4:7]
     a2_scratch[10:FEAT] = jnp.zeros((FEAT - 10, LANES), jnp.float32)
+    parked = a[1:2] == PARK_DISTANCE                 # (1, LANES) dead lanes
 
-    def step(j, best_t, best_i):
+    def cond(carry):
+        return carry[0]
+
+    def body(carry):
+        _, j, best_t, best_i = carry
         m = list_ref[0, 0, j]
         _recenter(a, a2_scratch, m, meta_ref)
         off = pl.multiple_of(m * fc, fc)
@@ -155,22 +174,32 @@ def _kernel_resident(meta_ref, list_ref, count_ref, feat_ref, b_ref,
         p = lax.dot_general(bm, a2_scratch[:], (((0,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
                             precision=precision)      # (4C, LANES)
-        return _reduce_update(p, best_t, best_i, m, c, det_eps, t_min, any_mode)
+        best_t, best_i = _reduce_update(p, best_t, best_i, m, c, det_eps,
+                                        t_min, any_mode)
+        nj = j + 1
+        jc = jnp.minimum(nj, n - 1)
+        go = (nj < n) & (entry_ref[0, 0, jc] <= _live_max_t(best_t, parked))
+        if any_mode:
+            go = go & ~jnp.all(parked | (best_i >= 0))
+        return go, nj, best_t, best_i
 
-    init = (jnp.full((1, LANES), BIG, jnp.float32),
+    init = (n > 0, jnp.zeros((), n.dtype),
+            jnp.full((1, LANES), BIG, jnp.float32),
             jnp.full((1, LANES), -1, jnp.int32))
-    best_t, best_i = lax.fori_loop(
-        0, n, lambda j, carry: step(j, *carry), init)
+    _, _, best_t, best_i = lax.while_loop(cond, body, init)
     out_t_ref[0] = best_t
     out_i_ref[0] = best_i
 
 
-def _kernel_stream(meta_ref, list_ref, count_ref, feat_ref, b_ref,
+def _kernel_stream(meta_ref, list_ref, count_ref, entry_ref, feat_ref, b_ref,
                    out_t_ref, out_i_ref, b_scratch, a2_scratch, dma_sems, *,
                    chunk_size: int, det_eps: float, t_min: float,
                    any_mode: bool, precision):
     """Streaming variant for scenes too big for VMEM: per-chunk (4C, FEAT_PAD)
-    constants double-buffer-DMA'd from HBM, prefetch overlapping the matmul."""
+    constants double-buffer-DMA'd from HBM, prefetch overlapping the matmul.
+    (No front-to-back early exit here — the prefetch bookkeeping must stay in
+    lockstep with the loop index; entry_ref is unused.)"""
+    del entry_ref
     c = chunk_size
     a = feat_ref[:]
     n = count_ref[0, 0, 0]
@@ -231,8 +260,8 @@ _PRECISIONS = {"default": lax.Precision.DEFAULT, "high": lax.Precision.HIGH,
 @functools.partial(jax.jit, static_argnames=("chunk_size", "det_eps", "t_min",
                                              "interpret", "any_mode", "precision",
                                              "resident"))
-def _sweep(meta, chunk_list, counts, feat, b, chunk_size: int, det_eps: float,
-           t_min: float, interpret: bool, any_mode: bool = False,
+def _sweep(meta, chunk_list, counts, entry, feat, b, chunk_size: int,
+           det_eps: float, t_min: float, interpret: bool, any_mode: bool = False,
            precision: str = "highest", resident: bool = True):
     nt = feat.shape[1] // LANES
     m = chunk_list.shape[-1]
@@ -263,6 +292,7 @@ def _sweep(meta, chunk_list, counts, feat, b, chunk_size: int, det_eps: float,
             # (3D so the trailing block dims equal the array dims)
             pl.BlockSpec((1, 1, m), lambda i, *_: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, m), lambda i, *_: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((FEAT, LANES), lambda i, *_: (0, i)),
             pl.BlockSpec(memory_space=pltpu.ANY),   # tri consts stay in HBM
         ],
@@ -280,7 +310,7 @@ def _sweep(meta, chunk_list, counts, feat, b, chunk_size: int, det_eps: float,
             jax.ShapeDtypeStruct((nt, 1, LANES), jnp.int32),
         ],
         interpret=interpret,
-    )(meta, chunk_list, counts, feat, b)
+    )(meta, chunk_list, counts, entry, feat, b)
     return t.reshape(nt, LANES), idx.reshape(nt, LANES)
 
 
@@ -325,11 +355,16 @@ def _chunk_mask(ro, rd, lo, hi, nt):
     far_hi = jnp.maximum(ta_hi, tb_hi)       # upper bound of max(ta, tb)
     tn_lo = near_lo.max(-1)                  # (nt, M)
     tf_hi = far_hi.min(-1)
-    mask = (tf_hi >= jnp.maximum(tn_lo, 0.0)) & tile_live[:, None]
-    # compact: visible chunk ids first (ascending), then the invisible ones
-    order = jnp.argsort(jnp.where(mask, 0, 1), axis=1, stable=True).astype(jnp.int32)
+    entry = jnp.maximum(tn_lo, 0.0)          # conservative tile-entry bound
+    mask = (tf_hi >= entry) & tile_live[:, None]
+    # compact: visible chunks first, sorted FRONT-TO-BACK by entry bound so
+    # the kernel can stop once remaining chunks lie beyond every live lane's
+    # nearest hit (ordering never affects results — only how early it exits)
+    order = jnp.argsort(jnp.where(mask, entry, jnp.inf), axis=1,
+                        stable=True).astype(jnp.int32)
+    entry_sorted = jnp.take_along_axis(entry, order, axis=1)
     counts = jnp.sum(mask, axis=1, dtype=jnp.int32)
-    return order[:, None, :], counts[:, None, None]
+    return order[:, None, :], entry_sorted[:, None, :], counts[:, None, None]
 
 
 class AccelPack:
@@ -399,12 +434,12 @@ def closest_triangle(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
         ro32, rd32 = ro.astype(f32), rd.astype(f32)
     feat = _features(ro32, rd32)                              # (FEAT, R')
     nt = feat.shape[1] // LANES
-    chunk_list, counts = _chunk_mask(ro32, rd32, lo, hi, nt)
+    chunk_list, entry, counts = _chunk_mask(ro32, rd32, lo, hi, nt)
 
     interpret = jax.default_backend() == "cpu"
-    t, idx = _sweep(meta, chunk_list, counts, feat, b, c, float(cfg.det_epsilon),
-                    float(cfg.smallest_dist), interpret, any_mode,
-                    cfg.matmul_precision, resident)
+    t, idx = _sweep(meta, chunk_list, counts, entry, feat, b, c,
+                    float(cfg.det_epsilon), float(cfg.smallest_dist),
+                    interpret, any_mode, cfg.matmul_precision, resident)
     t = t.reshape(-1)[:r].astype(ro.dtype)
     idx = idx.reshape(-1)[:r]
     t = jnp.where(idx >= 0, t, BIG)
