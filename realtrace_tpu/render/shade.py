@@ -261,162 +261,108 @@ def trace_wavefront(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
             accum = accum + coeff_f * scene.background[None]   # depth-exceeded → background
             return (accum, nrays) if with_stats else accum
 
-        # ---- compacted levels: deep bounces run at a fraction of the width.
-        # After the first bounce most tiles carry zero energy; gathering the
-        # live tiles into the smallest power-of-two capacity >= live count
-        # (lax.switch over static bucket widths) shrinks EVERY dense XLA op
-        # (attribute recompute, Phong, child-ray math) with the wavefront,
-        # not just the accel kernel. Exact: tiles are only skipped when all
-        # their lanes carry zero coefficient.
-        caps = [nt]
-        for _ in range(max(cfg.compact_buckets - 1, 0)):
-            nxt = (caps[-1] + 1) // 2
-            if nxt == caps[-1]:
-                break
-            caps.append(nxt)
-        caps_arr = jnp.asarray(caps[1:], jnp.int32)
+        # ---- hit-tile-compacted wavefront. The ONLY full-width accel pass is
+        # the level-0 forward query; every ray that can contribute after it
+        # lives in a tile with at least one level-0 hit (children spawn in
+        # their parent's lane, and reflection-only continuation never moves a
+        # lane across tiles). So: gather the hit tiles ONCE into the smallest
+        # static capacity that fits (lax.switch), run ALL differentiable
+        # shading and every deeper bounce at that width, and scatter ONLY the
+        # per-level color contributions back (one tile-granular scatter-add
+        # per level) — never the rays. Replaces the previous per-level
+        # gather/scatter of the full carry, which cost ~11ms/level at 1080p.
+        dt = ro.dtype
+        t0, fam0, idx0 = closest_query(scene, ro, rd, cfg, pack=pack)
+        active0 = jnp.any(coeff > 0.0, axis=-1)
+        valid0 = (fam0 != FAM_NONE) & active0
+        nrays0 = (jnp.sum(active0.astype(jnp.float32))
+                  + nl * jnp.sum(valid0.astype(jnp.float32)))
+        # background for every active level-0 miss, at full width (elementwise)
+        accum0 = jnp.where((active0 & (fam0 == FAM_NONE))[:, None],
+                           coeff * scene.background[None], 0.0)
+        hit_tl = jnp.any(valid0.reshape(nt, tile), axis=1)
+        cnt = jnp.sum(hit_tl, dtype=jnp.int32)
+
+        caps = sorted({-(-nt // 16), -(-nt // 4), nt})
+        caps_arr = jnp.asarray(caps, jnp.int32)
 
         def branch(cap: int):
             def br(operand):
-                ro_f, rd_f, coeff_f, accum, tl, pos, cnt = operand
-                tidx = jnp.nonzero(tl, size=cap, fill_value=0)[0].astype(jnp.int32)
+                t0, fam0, idx0, coeff_f = operand
+                # hit-tile ids, ascending; pads get the out-of-range sentinel
+                # nt so contribution scatters drop them (indices stay sorted
+                # and duplicate-free — no atomic-style collisions to resolve)
+                tidx = jnp.nonzero(hit_tl, size=cap, fill_value=nt)[0].astype(jnp.int32)
+                tsafe = jnp.minimum(tidx, nt - 1)
 
                 def g3(x):
-                    return x.reshape(nt, tile, 3)[tidx].reshape(cap * tile, 3)
+                    return x.reshape(nt, tile, 3)[tsafe].reshape(cap * tile, 3)
 
-                ro_c, rd_c, coeff_c = g3(ro_f), g3(rd_f), g3(coeff_f)
-                # capacity slots beyond the live count duplicate tile 0: kill
-                # their energy and park their rays (zero contribution + work)
-                padlive = jnp.repeat(jnp.arange(cap, dtype=jnp.int32) < cnt, tile)
+                def g1(x):
+                    return x.reshape(nt, tile)[tsafe].reshape(cap * tile)
+
+                def put(acc, xc):
+                    return acc.at[tidx].add(xc.reshape(cap, tile, 3),
+                                            mode="drop", indices_are_sorted=True)
+
+                ro_c, rd_c, coeff_c = g3(ro), g3(rd), g3(coeff_f)
+                t_c, fam_c, idx_c = g1(t0), g1(fam0), g1(idx0)
+                padlive = jnp.repeat(tidx < nt, tile)
                 coeff_c = jnp.where(padlive[:, None], coeff_c, 0.0)
-                lane_live = padlive & jnp.any(coeff_c > 0.0, axis=-1)
-                ro_c, rd_c = _park_dead(ro_c, rd_c, lane_live)
+                fam_c = jnp.where(padlive, fam_c, FAM_NONE)
 
-                # secondary wavefronts are incoherent within pixel tiles:
-                # re-tile by spatial coherence key so the accel's interval
-                # masks stay tight (and dead lanes pack into dead tail tiles)
-                reorder = (pack is not None and cfg.reorder_secondary
-                           and cap * 4 <= nt)
-                if reorder:
-                    key = _coherence_key(lax.stop_gradient(ro_c),
-                                         lax.stop_gradient(rd_c),
-                                         pack.scene_lo, pack.scene_hi, lane_live)
-                    order = jnp.argsort(key).astype(jnp.int32)
-                    inv_order = jnp.zeros_like(order).at[order].set(
-                        jnp.arange(order.shape[0], dtype=jnp.int32))
-                    ro_c, rd_c, coeff_c = ro_c[order], rd_c[order], coeff_c[order]
+                # level-0 shading at compact width (reuses the full-width
+                # query's selection — no second accel pass)
+                hit0 = hit_attributes(scene, ro_c, rd_c, t_c, fam_c,
+                                      idx_c.astype(jnp.int32), cfg, pack=pack)
+                contrib0, (ro_r, rd_r, coeff_r), _ = _children(
+                    scene, hit0, ro_c, rd_c, coeff_c, cfg, pack=pack,
+                    miss_background=False)
+                accum = put(accum0.reshape(nt, tile, 3), contrib0)
 
-                # level 0 runs full width but typically hits few tiles (bob at
-                # 1080p: 106 of 2040) — compact the EXPENSIVE differentiable
-                # part (attribute recompute + Phong + shadow query + child
-                # math) to the hit tiles with an inner switch, keeping only
-                # the forward query + background blend at full width.
-                inner = cap == nt and nt >= 16 and not reorder
-                if inner:
-                    t_f, fam, idx = closest_query(scene, ro_c, rd_c, cfg, pack=pack)
-                    active = jnp.any(coeff_c > 0.0, axis=-1)
-                    validm = (fam != FAM_NONE) & active
-                    n_traced = (jnp.sum(active.astype(jnp.float32))
-                                + nl * jnp.sum(validm.astype(jnp.float32)))
-                    hit_tl = jnp.any(validm.reshape(cap, tile), axis=1)
-                    cnt2 = jnp.sum(hit_tl, dtype=jnp.int32)
-                    pos2 = jnp.cumsum(hit_tl.astype(jnp.int32)) - 1
-                    caps2 = [cap]
-                    while len(caps2) < 4:
-                        nxt = max((caps2[-1] + 3) // 4, 1)
-                        if nxt == caps2[-1]:
-                            break
-                        caps2.append(nxt)
-                    caps2_arr = jnp.asarray(caps2[1:], jnp.int32)
+                reorder = pack is not None and cfg.reorder_secondary
 
-                    def branch2(c2: int):
-                        def br2(op):
-                            ro_i, rd_i, coeff_i, t_i, fam_i, idx_i = op
-                            tidx2 = jnp.nonzero(hit_tl, size=c2, fill_value=0)[0].astype(jnp.int32)
-
-                            def g3b(x):
-                                return x.reshape(cap, tile, 3)[tidx2].reshape(c2 * tile, 3)
-
-                            def g1b(x):
-                                return x.reshape(cap, tile)[tidx2].reshape(c2 * tile)
-
-                            ro2, rd2, coeff2 = g3b(ro_i), g3b(rd_i), g3b(coeff_i)
-                            t2, fam2, idx2 = g1b(t_i), g1b(fam_i), g1b(idx_i)
-                            padlive2 = jnp.repeat(jnp.arange(c2, dtype=jnp.int32) < cnt2, tile)
-                            coeff2 = jnp.where(padlive2[:, None], coeff2, 0.0)
-                            fam2 = jnp.where(padlive2, fam2, FAM_NONE)
-                            hit2 = hit_attributes(scene, ro2, rd2, t2, fam2, idx2,
-                                                  cfg, pack=pack)
-                            contrib2, (ror, rdr, cr), _ = _children(
-                                scene, hit2, ro2, rd2, coeff2, cfg, pack=pack,
-                                miss_background=False)
-                            posc2 = jnp.clip(pos2, 0, c2 - 1)
-
-                            def back2(xc, default):
-                                xt = xc.reshape(c2, tile, 3)[posc2]
-                                return jnp.where(hit_tl[:, None, None], xt,
-                                                 default).reshape(cap * tile, 3)
-
-                            park2 = jnp.zeros((3,), ro_i.dtype).at[0].set(1.0)
-                            return (back2(contrib2, 0.0),
-                                    back2(ror, jnp.asarray(PARK_DISTANCE, ro_i.dtype)),
-                                    back2(rdr, park2[None, None, :]),
-                                    back2(cr, 0.0))
-                        return br2
-
-                    b2 = (jnp.sum(cnt2 <= caps2_arr) if len(caps2) > 1
-                          else jnp.zeros((), jnp.int32))
-                    contrib, ro_rc, rd_rc, coeff_rc = lax.switch(
-                        b2, [branch2(c2) for c2 in caps2],
-                        (ro_c, rd_c, coeff_c, t_f, fam, idx))
-                    # background for every active miss (inside or outside hit
-                    # tiles — the inner _children skips it)
-                    miss = active & (fam == FAM_NONE)
-                    contrib = contrib + jnp.where(miss[:, None],
-                                                  coeff_c * scene.background[None], 0.0)
-                else:
-                    hit = closest_hit(scene, ro_c, rd_c, cfg, pack=pack)
-                    n_traced = count_rays(coeff_c, hit)
-                    contrib, (ro_rc, rd_rc, coeff_rc), _ = _children(
-                        scene, hit, ro_c, rd_c, coeff_c, cfg, pack=pack)
+                def step(carry, _):
+                    ro_s, rd_s, coeff_s, accum, nrays = carry
                     if reorder:
-                        contrib, ro_rc, rd_rc, coeff_rc = (
-                            contrib[inv_order], ro_rc[inv_order],
-                            rd_rc[inv_order], coeff_rc[inv_order])
+                        # secondary rays are incoherent within their pixel
+                        # tile, which loosens the sweep's interval chunk masks
+                        # (measured ~80 of 167 chunks/tile on bob bounce-1 vs
+                        # ~0.9 at level 0). At compact width the Morton/octant
+                        # re-sort is ~1ms against >10ms of sweep it saves; the
+                        # inverse permutation restores tile→pixel mapping
+                        # before the contribution scatter.
+                        live = jnp.any(lax.stop_gradient(coeff_s) > 0.0, axis=-1)
+                        key = _coherence_key(lax.stop_gradient(ro_s),
+                                             lax.stop_gradient(rd_s),
+                                             pack.scene_lo, pack.scene_hi, live)
+                        order = jnp.argsort(key).astype(jnp.int32)
+                        inv_order = jnp.zeros_like(order).at[order].set(
+                            jnp.arange(order.shape[0], dtype=jnp.int32))
+                        ro_s, rd_s, coeff_s = ro_s[order], rd_s[order], coeff_s[order]
+                    hit = closest_hit(scene, ro_s, rd_s, cfg, pack=pack)
+                    nrays = nrays + count_rays(coeff_s, hit)
+                    contrib, (ro_n, rd_n, coeff_n), _ = _children(
+                        scene, hit, ro_s, rd_s, coeff_s, cfg, pack=pack)
+                    if reorder:
+                        contrib, ro_n, rd_n, coeff_n = (
+                            contrib[inv_order], ro_n[inv_order],
+                            rd_n[inv_order], coeff_n[inv_order])
+                    return (ro_n, rd_n, coeff_n, put(accum, contrib), nrays), None
 
-                # scatter-back as a gather (duplicate-free, deterministic):
-                # full tile i reads compacted slot pos[i] when live
-                posc = jnp.clip(pos, 0, cap - 1)
-
-                def back(xc, default):
-                    xt = xc.reshape(cap, tile, 3)[posc]          # (nt, tile, 3)
-                    return jnp.where(tl[:, None, None], xt, default).reshape(r, 3)
-
-                park_d = jnp.zeros((3,), ro_f.dtype).at[0].set(1.0)
-                return (back(ro_rc, jnp.asarray(PARK_DISTANCE, ro_f.dtype)),
-                        back(rd_rc, park_d[None, None, :]),
-                        back(coeff_rc, 0.0),
-                        accum + back(contrib, 0.0),
-                        n_traced)
+                carry = (ro_r, rd_r, coeff_r, accum, jnp.zeros((), jnp.float32))
+                if cfg.max_depth > 0:
+                    carry, _ = lax.scan(step, carry, None, length=cfg.max_depth)
+                _, _, coeff_d, accum, nrays_d = carry
+                # depth-exceeded → background
+                accum = put(accum, coeff_d * scene.background[None])
+                return accum.reshape(r, 3), nrays_d
             return br
 
-        branches = [branch(c) for c in caps]
-
-        def step(carry, _):
-            ro_f, rd_f, coeff_f, accum, nrays = carry
-            live = jnp.any(coeff_f > 0.0, axis=-1)
-            tl = jnp.any(live.reshape(nt, tile), axis=1)
-            cnt = jnp.sum(tl, dtype=jnp.int32)
-            pos = jnp.cumsum(tl.astype(jnp.int32)) - 1
-            b = jnp.sum(cnt <= caps_arr) if len(caps) > 1 else jnp.zeros((), jnp.int32)
-            ro_n, rd_n, coeff_n, accum, n_traced = lax.switch(
-                b, branches, (ro_f, rd_f, coeff_f, accum, tl, pos, cnt))
-            return (ro_n, rd_n, coeff_n, accum, nrays + n_traced), None
-
-        init = (ro, rd, coeff, jnp.zeros_like(ro), jnp.zeros((), jnp.float32))
-        (ro_f, rd_f, coeff_f, accum, nrays), _ = lax.scan(step, init, None, length=cfg.max_depth + 1)
-        accum = accum + coeff_f * scene.background[None]   # depth-exceeded → background
-        return (accum, nrays) if with_stats else accum
+        b = jnp.sum(cnt > caps_arr)
+        accum, nrays_d = lax.switch(b, [branch(c) for c in caps],
+                                    (t0, fam0, idx0, coeff))
+        return (accum, nrays0 + nrays_d) if with_stats else accum
 
     # ---- branching (dielectric) mode: unrolled doubling tree -------------
     rays = [(ro, rd, coeff)]
