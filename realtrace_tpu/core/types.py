@@ -252,6 +252,10 @@ class RenderConfig:
     # exact, shape-static, and the XLA shading work shrinks with the wavefront
     compact_levels: bool = True
     compact_buckets: int = 6               # capacities nt, nt/2, ..., nt/2^(b-1)
+    # batch each level's shadow rays with the next level's reflection rays
+    # into ONE closest query (one sweep invocation per level instead of
+    # lights+1) — amortizes feature-build/chunk-mask/launch fixed costs
+    merge_queries: bool = True
     # re-tile compacted secondary wavefronts by a spatial Morton/octant key so
     # the accel's per-tile interval masks stay tight after a bounce.
     # Default OFF: on TPU the sort+permute apparatus measured ~+37ms/frame at

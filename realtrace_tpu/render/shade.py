@@ -101,33 +101,46 @@ def _park_dead(ro: Array, rd: Array, live: Array) -> tuple[Array, Array]:
             jnp.where(live[:, None], rd, park_d))
 
 
-def shadow_mask(scene: Scene, hit_pos: Array, live: Array, cfg: RenderConfig,
-                pack=None) -> Array:
-    """True where ANY light's shadow ray is occluded.
+def _shadow_targets(scene: Scene, hit_pos: Array, live: Array, cfg: RenderConfig):
+    """Per-light shadow ray (origin, direction), parked on dead lanes.
 
     Ref: Serial/world.cpp:42-51 — shadow ray origin is offset by
-    ``0.01*(lightPos-pos)`` along the *unnormalized* to-light vector; any hit
-    (even beyond the light) counts as shadow, which we reproduce.
+    ``0.01*(lightPos-pos)`` along the *unnormalized* to-light vector.
     """
-    occ = jnp.zeros((hit_pos.shape[0],), bool)
+    out = []
     lp = scene.lights.position
     for l in range(lp.shape[0]):
         to_light = lp[l][None, :] - hit_pos
         origin = hit_pos + cfg.shadow_origin_bias * to_light
         direction = vec.normalize(to_light)
-        origin, direction = _park_dead(origin, direction, live)
+        out.append(_park_dead(origin, direction, live))
+    return out
+
+
+def shadow_mask(scene: Scene, hit_pos: Array, live: Array, cfg: RenderConfig,
+                pack=None) -> Array:
+    """True where ANY light's shadow ray is occluded.
+
+    Ref: Serial/world.cpp:42-51 — any hit (even beyond the light) counts as
+    shadow, which we reproduce.
+    """
+    occ = jnp.zeros((hit_pos.shape[0],), bool)
+    for origin, direction in _shadow_targets(scene, hit_pos, live, cfg):
         occ |= any_hit(scene, origin, direction, cfg, pack=pack)
     return occ
 
 
 def local_color(scene: Scene, hit: Hit, rd: Array, cfg: RenderConfig,
-                live: Array | None = None, pack=None) -> Array:
+                live: Array | None = None, pack=None,
+                shadowed: Array | None = None) -> Array:
     """Direct (local) shade at a hit: Phong + ambient, with the reference's
     shadow blend ``final*1e-4 + shadowColor*(1-1e-4)``.
 
     ``live`` marks lanes whose result is actually used — dead lanes' shadow
     rays are parked (zero accel work), their output is masked by the caller.
-    Ref: Serial/world.cpp:40-63.
+    ``shadowed`` supplies a precomputed occlusion mask (the merged-query
+    wavefront path batches shadow rays with the next level's closest query);
+    when None the shadow query runs here. Ref: Serial/world.cpp:40-63.
     """
     if live is None:
         live = hit.valid
@@ -135,23 +148,24 @@ def local_color(scene: Scene, hit: Hit, rd: Array, cfg: RenderConfig,
     amb = scene.ambient[None, :] * hit.color * hit.ka[:, None]
     lc = lc + amb
     if cfg.shadows and scene.lights.position.shape[0]:
-        sh = shadow_mask(scene, lax.stop_gradient(hit.position),
-                         lax.stop_gradient(live), cfg, pack=pack)
+        if shadowed is None:
+            shadowed = shadow_mask(scene, lax.stop_gradient(hit.position),
+                                   lax.stop_gradient(live), cfg, pack=pack)
         b = cfg.shadow_blend
-        lc = jnp.where(sh[:, None], lc * b + amb * (1.0 - b), lc)
+        lc = jnp.where(shadowed[:, None], lc * b + amb * (1.0 - b), lc)
     return lc
 
 
-def _children(scene: Scene, hit: Hit, ro: Array, rd: Array, coeff: Array,
-               cfg: RenderConfig, pack=None, miss_background: bool = True):
-    """One wavefront step: local contribution + (reflect, refract) children.
+def _children_geom(scene: Scene, hit: Hit, ro: Array, rd: Array, coeff: Array,
+                   cfg: RenderConfig):
+    """Child-ray geometry of one wavefront step (NO shading, NO queries).
 
-    Returns (contrib, (ro_r, rd_r, coeff_r), (ro_t, rd_t, coeff_t)).
-    Mirrors the three branches of Serial/world.cpp:77-109:
+    Returns (valid, is_diel, (ro_r, rd_r, coeff_r), (ro_t, rd_t, coeff_t)).
+    Mirrors the branch structure of Serial/world.cpp:77-109:
       * dielectric (kr>0 && kt>0): Fresnel–Schlick split, Beer attenuation on
-        exit, no local contribution;
-      * reflective (kr>0): local + kr * child;
-      * plain: local only.
+        exit;
+      * reflective (kr>0): kr-weighted reflection child;
+      * plain: no children.
     """
     dt = ro.dtype
     active = jnp.any(coeff > 0.0, axis=-1)
@@ -161,13 +175,6 @@ def _children(scene: Scene, hit: Hit, ro: Array, rd: Array, coeff: Array,
     n = vec.normalize(hit.normal)
     is_diel = valid & (hit.kr > 0.0) & (hit.kt > 0.0)
     is_refl = valid & (hit.kr > 0.0) & ~is_diel
-
-    lc = local_color(scene, hit, rd, cfg, live=valid, pack=pack)
-    # miss → background; dielectric → no local term (Serial/world.cpp:100 returns children only)
-    contrib = jnp.where(valid[:, None] & ~is_diel[:, None], coeff * lc, 0.0)
-    if miss_background:
-        contrib = contrib + jnp.where((active & ~hit.valid)[:, None],
-                                      coeff * scene.background[None], 0.0)
 
     # ---- reflection child (shared by dielectric + reflective paths) ------
     r_dir = vec.reflect(i, n)
@@ -206,7 +213,67 @@ def _children(scene: Scene, hit: Hit, ro: Array, rd: Array, coeff: Array,
     # dead lanes at the next level
     ro_r, rd_r = _park_dead(ro_r, rd_r, jnp.any(lax.stop_gradient(coeff_r) > 0.0, axis=-1))
     ro_t, rd_t = _park_dead(ro_t, rd_t, jnp.any(lax.stop_gradient(coeff_t) > 0.0, axis=-1))
-    return contrib, (ro_r, rd_r, coeff_r), (ro_t, rd_t, coeff_t)
+    return valid, is_diel, (ro_r, rd_r, coeff_r), (ro_t, rd_t, coeff_t)
+
+
+def _local_contrib(scene: Scene, hit: Hit, rd: Array, coeff: Array,
+                   valid: Array, is_diel: Array, cfg: RenderConfig, pack=None,
+                   miss_background: bool = True,
+                   shadowed: Array | None = None) -> Array:
+    """Local (this-level) color contribution of a wavefront step: Phong shade
+    on valid non-dielectric lanes (+ background on active misses).
+    ``shadowed`` is the optional precomputed occlusion mask."""
+    active = jnp.any(coeff > 0.0, axis=-1)
+    lc = local_color(scene, hit, rd, cfg, live=valid, pack=pack, shadowed=shadowed)
+    # miss → background; dielectric → no local term (Serial/world.cpp:100 returns children only)
+    contrib = jnp.where(valid[:, None] & ~is_diel[:, None], coeff * lc, 0.0)
+    if miss_background:
+        contrib = contrib + jnp.where((active & ~hit.valid)[:, None],
+                                      coeff * scene.background[None], 0.0)
+    return contrib
+
+
+def _children(scene: Scene, hit: Hit, ro: Array, rd: Array, coeff: Array,
+               cfg: RenderConfig, pack=None, miss_background: bool = True):
+    """One wavefront step: local contribution + (reflect, refract) children.
+
+    Returns (contrib, (ro_r, rd_r, coeff_r), (ro_t, rd_t, coeff_t)).
+    The shadow query runs inline (unmerged) — the branching dielectric path
+    and non-wavefront callers use this; the scan paths use the split
+    ``_children_geom`` + merged query + ``_local_contrib`` instead.
+    """
+    valid, is_diel, child_r, child_t = _children_geom(scene, hit, ro, rd, coeff, cfg)
+    contrib = _local_contrib(scene, hit, rd, coeff, valid, is_diel, cfg,
+                             pack=pack, miss_background=miss_background)
+    return contrib, child_r, child_t
+
+
+def _merged_query(scene: Scene, hit: Hit, valid: Array, child_r, cfg: RenderConfig,
+                  pack=None):
+    """ONE batched closest query covering this level's shadow rays (one
+    segment per light) and the next level's reflection rays — a single sweep
+    invocation instead of (lights + 1), amortizing the per-invocation fixed
+    costs (feature build, chunk mask + argsort, kernel launch).
+
+    Occlusion semantics match ``any_hit``: anything with t > SMALLEST_DIST
+    occludes (fam != FAM_NONE). Returns (shadowed | None, (t, fam, idx) of
+    the child segment).
+    """
+    ro_r, rd_r, _ = child_r
+    nl = scene.lights.position.shape[0] if cfg.shadows else 0
+    if nl == 0:
+        return None, closest_query(scene, ro_r, rd_r, cfg, pack=pack)
+    sh = _shadow_targets(scene, lax.stop_gradient(hit.position),
+                         lax.stop_gradient(valid), cfg)
+    ros = jnp.concatenate([o for o, _ in sh] + [ro_r])
+    rds = jnp.concatenate([d for _, d in sh] + [rd_r])
+    t, fam, idx = closest_query(scene, ros, rds, cfg, pack=pack)
+    r = ro_r.shape[0]
+    occ = jnp.zeros((r,), bool)
+    for l in range(nl):
+        occ |= fam[l * r:(l + 1) * r] != FAM_NONE
+    s = nl * r
+    return occ, (t[s:], fam[s:], idx[s:])
 
 
 def trace_wavefront(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
@@ -248,16 +315,49 @@ def trace_wavefront(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
         compact = cfg.compact_levels and nt >= 4
 
         if not compact:
-            def step(carry, _):
-                ro, rd, coeff, accum, nrays = carry
-                hit = closest_hit(scene, ro, rd, cfg, pack=pack)
-                nrays = nrays + count_rays(coeff, hit)
-                contrib, (ro_r, rd_r, coeff_r), _ = _children(scene, hit, ro, rd, coeff,
-                                                              cfg, pack=pack)
-                return (ro_r, rd_r, coeff_r, accum + contrib, nrays), None
+            if not cfg.merge_queries:
+                def step(carry, _):
+                    ro, rd, coeff, accum, nrays = carry
+                    hit = closest_hit(scene, ro, rd, cfg, pack=pack)
+                    nrays = nrays + count_rays(coeff, hit)
+                    contrib, (ro_r, rd_r, coeff_r), _ = _children(scene, hit, ro, rd, coeff,
+                                                                  cfg, pack=pack)
+                    return (ro_r, rd_r, coeff_r, accum + contrib, nrays), None
 
-            init = (ro, rd, coeff, jnp.zeros_like(ro), jnp.zeros((), jnp.float32))
-            (ro_f, rd_f, coeff_f, accum, nrays), _ = lax.scan(step, init, None, length=cfg.max_depth + 1)
+                init = (ro, rd, coeff, jnp.zeros_like(ro), jnp.zeros((), jnp.float32))
+                (ro_f, rd_f, coeff_f, accum, nrays), _ = lax.scan(step, init, None, length=cfg.max_depth + 1)
+                accum = accum + coeff_f * scene.background[None]   # depth-exceeded → background
+                return (accum, nrays) if with_stats else accum
+
+            # merged-query scan: each iteration shades the CURRENT level from
+            # the carried query result and issues ONE batched query (shadow
+            # segments + next level's reflection rays)
+            q0 = closest_query(scene, ro, rd, cfg, pack=pack)
+
+            def step(carry, is_last):
+                ro_s, rd_s, coeff_s, t, fam, idx, accum, nrays = carry
+                hit = hit_attributes(scene, ro_s, rd_s, t, fam, idx, cfg, pack=pack)
+                nrays = nrays + count_rays(coeff_s, hit)
+                valid, is_diel, child_r, _ = _children_geom(scene, hit, ro_s, rd_s,
+                                                            coeff_s, cfg)
+                ro_r, rd_r, coeff_r = child_r
+                # final level: its child query result is never consumed — park
+                # the child segment so the sweep masks its work to zero
+                ro_q, rd_q = _park_dead(ro_r, rd_r,
+                                        jnp.broadcast_to(~is_last, valid.shape))
+                occ, (tn, famn, idxn) = _merged_query(scene, hit, valid,
+                                                      (ro_q, rd_q, coeff_r),
+                                                      cfg, pack=pack)
+                contrib = _local_contrib(scene, hit, rd_s, coeff_s, valid, is_diel,
+                                         cfg, pack=pack, shadowed=occ)
+                return (ro_r, rd_r, coeff_r, tn, famn, idxn,
+                        accum + contrib, nrays), None
+
+            t0, fam0, idx0 = q0
+            init = (ro, rd, coeff, t0, fam0, idx0,
+                    jnp.zeros_like(ro), jnp.zeros((), jnp.float32))
+            xs = jnp.arange(cfg.max_depth + 1) == cfg.max_depth
+            (ro_f, rd_f, coeff_f, *_q, accum, nrays), _ = lax.scan(step, init, xs)
             accum = accum + coeff_f * scene.background[None]   # depth-exceeded → background
             return (accum, nrays) if with_stats else accum
 
@@ -315,12 +415,46 @@ def trace_wavefront(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
                 # query's selection — no second accel pass)
                 hit0 = hit_attributes(scene, ro_c, rd_c, t_c, fam_c,
                                       idx_c.astype(jnp.int32), cfg, pack=pack)
-                contrib0, (ro_r, rd_r, coeff_r), _ = _children(
-                    scene, hit0, ro_c, rd_c, coeff_c, cfg, pack=pack,
-                    miss_background=False)
-                accum = put(accum0.reshape(nt, tile, 3), contrib0)
 
                 reorder = pack is not None and cfg.reorder_secondary
+                merged = cfg.merge_queries and not reorder
+
+                if merged:
+                    valid0, isd0, child0, _ = _children_geom(
+                        scene, hit0, ro_c, rd_c, coeff_c, cfg)
+                    ro_r, rd_r, coeff_r = child0
+                    if cfg.max_depth == 0:   # child query never consumed
+                        dead = jnp.zeros_like(valid0)
+                        ro_q, rd_q = _park_dead(ro_r, rd_r, dead)
+                    else:
+                        ro_q, rd_q = ro_r, rd_r
+                    occ0, q1 = _merged_query(scene, hit0, valid0,
+                                             (ro_q, rd_q, coeff_r), cfg, pack=pack)
+                    contrib0 = _local_contrib(scene, hit0, rd_c, coeff_c, valid0,
+                                              isd0, cfg, pack=pack,
+                                              miss_background=False, shadowed=occ0)
+                else:
+                    contrib0, (ro_r, rd_r, coeff_r), _ = _children(
+                        scene, hit0, ro_c, rd_c, coeff_c, cfg, pack=pack,
+                        miss_background=False)
+                accum = put(accum0.reshape(nt, tile, 3), contrib0)
+
+                def step_merged(carry, is_last):
+                    ro_s, rd_s, coeff_s, t, fam, idx, accum, nrays = carry
+                    hit = hit_attributes(scene, ro_s, rd_s, t, fam, idx, cfg,
+                                         pack=pack)
+                    nrays = nrays + count_rays(coeff_s, hit)
+                    valid, is_diel, child_n, _ = _children_geom(
+                        scene, hit, ro_s, rd_s, coeff_s, cfg)
+                    ro_n, rd_n, coeff_n = child_n
+                    ro_q, rd_q = _park_dead(ro_n, rd_n,
+                                            jnp.broadcast_to(~is_last, valid.shape))
+                    occ, (tn, famn, idxn) = _merged_query(
+                        scene, hit, valid, (ro_q, rd_q, coeff_n), cfg, pack=pack)
+                    contrib = _local_contrib(scene, hit, rd_s, coeff_s, valid,
+                                             is_diel, cfg, pack=pack, shadowed=occ)
+                    return (ro_n, rd_n, coeff_n, tn, famn, idxn,
+                            put(accum, contrib), nrays), None
 
                 def step(carry, _):
                     ro_s, rd_s, coeff_s, accum, nrays = carry
@@ -350,10 +484,18 @@ def trace_wavefront(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
                             rd_n[inv_order], coeff_n[inv_order])
                     return (ro_n, rd_n, coeff_n, put(accum, contrib), nrays), None
 
-                carry = (ro_r, rd_r, coeff_r, accum, jnp.zeros((), jnp.float32))
-                if cfg.max_depth > 0:
-                    carry, _ = lax.scan(step, carry, None, length=cfg.max_depth)
-                _, _, coeff_d, accum, nrays_d = carry
+                if merged:
+                    carry = (ro_r, rd_r, coeff_r, *q1, accum,
+                             jnp.zeros((), jnp.float32))
+                    if cfg.max_depth > 0:
+                        xs = jnp.arange(cfg.max_depth) == cfg.max_depth - 1
+                        carry, _ = lax.scan(step_merged, carry, xs)
+                    coeff_d, accum, nrays_d = carry[2], carry[6], carry[7]
+                else:
+                    carry = (ro_r, rd_r, coeff_r, accum, jnp.zeros((), jnp.float32))
+                    if cfg.max_depth > 0:
+                        carry, _ = lax.scan(step, carry, None, length=cfg.max_depth)
+                    coeff_d, accum, nrays_d = carry[2], carry[3], carry[4]
                 # depth-exceeded → background
                 accum = put(accum, coeff_d * scene.background[None])
                 return accum.reshape(r, 3), nrays_d
