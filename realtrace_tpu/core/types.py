@@ -247,6 +247,10 @@ class RenderConfig:
     shortlist: int = 48                    # chunks tested per ray block (XLA chunked path)
     ray_block: int = 2048                  # rays per lax.map block in XLA paths
     matmul_precision: str = "highest"      # pallas triangle-test MXU precision
+    # wavefronts at or below this many rays use the EXACT per-ray chunk mask
+    # (O(rays x chunks) VPU) instead of the conservative per-tile interval
+    # mask — decisive for divergent secondary bounces (docs/KERNEL.md)
+    exact_mask_rays: int = 1 << 19
     # inter-level wavefront compaction: deep bounce levels run on only the
     # live tiles (gathered to a power-of-two tile capacity via lax.switch) —
     # exact, shape-static, and the XLA shading work shrinks with the wavefront

@@ -367,6 +367,44 @@ def _chunk_mask(ro, rd, lo, hi, nt):
     return order[:, None, :], entry_sorted[:, None, :], counts[:, None, None]
 
 
+def _chunk_mask_exact(ro, rd, lo, hi, nt):
+    """EXACT per-tile chunk visibility: per-ray slab test, OR-reduced over
+    each tile's lanes. O(R x M) VPU work, so it only pays at compacted
+    (secondary) wavefront widths — where it is decisive: divergent reflection
+    directions make the interval mask's [inv_min, inv_max] box span sign
+    changes and degenerate to ~everything (measured 61-95 of 167 chunks/tile
+    listed on bob bounce levels vs ~0.9 at level 0, benchmarks/exp_levels.py).
+
+    Never excludes a chunk any lane's forward half-line enters (triangle ⊂
+    chunk AABB ⇒ any triangle hit implies a slab hit). Same compacted-list
+    (chunk_list, entry, counts) contract as ``_chunk_mask``; the per-tile
+    entry bound (min over hitting lanes of the slab entry) is tighter, which
+    also sharpens the kernel's front-to-back early exit.
+    """
+    inv = jnp.where(rd != 0.0, 1.0 / jnp.where(rd != 0.0, rd, 1.0), BIG)
+    r = ro.shape[0]
+    m = lo.shape[0]
+    live = ro[:, 0] != PARK_DISTANCE                           # (R,)
+    tn = jnp.zeros((r, m), jnp.float32)                        # entry ≥ 0
+    tf = jnp.full((r, m), BIG, jnp.float32)
+    for ax in range(3):
+        t1 = (lo[None, :, ax] - ro[:, None, ax]) * inv[:, None, ax]
+        t2 = (hi[None, :, ax] - ro[:, None, ax]) * inv[:, None, ax]
+        tn = jnp.maximum(tn, jnp.minimum(t1, t2))
+        tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+    # small relative pad so f32 rounding can't drop a grazing chunk
+    hit = (tf * (1.0 + 1e-6) + 1e-6 >= tn) & live[:, None]     # (R, M)
+    hit_t = hit.reshape(nt, LANES, m)
+    mask = jnp.any(hit_t, axis=1)                              # (nt, M)
+    entry = jnp.min(jnp.where(hit_t, tn.reshape(nt, LANES, m), jnp.inf),
+                    axis=1)                                    # (nt, M)
+    order = jnp.argsort(jnp.where(mask, entry, jnp.inf), axis=1,
+                        stable=True).astype(jnp.int32)
+    entry_sorted = jnp.take_along_axis(jnp.where(mask, entry, 0.0), order, axis=1)
+    counts = jnp.sum(mask, axis=1, dtype=jnp.int32)
+    return order[:, None, :], entry_sorted[:, None, :], counts[:, None, None]
+
+
 class AccelPack:
     """Scene-constant sweep inputs, built ONCE per frame and threaded through
     every closest/occlusion query (8+ sweeps per frame would otherwise each
@@ -434,7 +472,11 @@ def closest_triangle(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
         ro32, rd32 = ro.astype(f32), rd.astype(f32)
     feat = _features(ro32, rd32)                              # (FEAT, R')
     nt = feat.shape[1] // LANES
-    chunk_list, entry, counts = _chunk_mask(ro32, rd32, lo, hi, nt)
+    # exact per-ray masks for compacted (secondary) widths, interval masks
+    # for full-width primary wavefronts where O(R*M) would dominate
+    mask_fn = (_chunk_mask_exact if ro32.shape[0] <= cfg.exact_mask_rays
+               else _chunk_mask)
+    chunk_list, entry, counts = mask_fn(ro32, rd32, lo, hi, nt)
 
     interpret = jax.default_backend() == "cpu"
     t, idx = _sweep(meta, chunk_list, counts, entry, feat, b, c,
