@@ -37,7 +37,7 @@ def main() -> None:
     cfg = RenderConfig(max_depth=depth, accel=accel_mode,
                        chunk_size=int(os.environ.get("RT_BENCH_CHUNK", 64)),
                        shortlist=48, ray_block=int(os.environ.get("RT_BENCH_BLOCK", 8192)),
-                       reorder_secondary=os.environ.get("RT_BENCH_REORDER", "1") == "1")
+                       reorder_secondary=os.environ.get("RT_BENCH_REORDER", "0") == "1")
     scene, cam = scenes.serial_obj_scene(
         texture_path="/root/reference/Serial/bob_diffuse.png", dtype=jnp.float32)
     if accel_mode != "bruteforce":
