@@ -128,7 +128,11 @@ class Scene:
     def has_dielectrics(self) -> bool:
         """Static-ish check used to pick the wavefront branching mode.
 
-        Calls back to concrete values; only valid outside jit traces.
+        WARNING: pulls concrete values (np.asarray on leaves) — it is a
+        host-side scene inspection, NOT traceable. Calling it on a traced
+        Scene (inside jit/grad/vmap) raises a TracerArrayConversionError.
+        Every in-tree caller runs it pre-jit; if you wrap scene construction
+        in jit, pass ``branching=`` explicitly instead.
         """
         mats = [self.tri_materials, self.sph_materials, self.pln_materials, self.cyl_materials]
         for m in mats:
@@ -241,7 +245,11 @@ class RenderConfig:
     ray_offset: float = 1e-4               # secondary-ray origin offset, Serial/world.cpp:97-103
     shadow_origin_bias: float = 0.01       # shadow-ray origin lerp factor, Serial/world.cpp:44
     beer_sigma: tuple = (0.27, 0.45, 0.55)  # exit-attenuation constants, Serial/world.cpp:85
-    # acceleration: "bruteforce" | "chunked" (Morton chunk-AABB sweep) | "pallas"
+    # acceleration: "bruteforce" | "chunked" (Morton chunk-AABB sweep) | "pallas".
+    # WARNING: "chunked" is APPROXIMATE by construction — each ray block tests
+    # only the top-`shortlist` most-voted chunks, so a hit in a chunk that
+    # missed the shortlist is silently dropped. Exact modes: "bruteforce"
+    # (reference semantics) and "pallas" (sweeps every visible chunk).
     accel: str = "bruteforce"
     chunk_size: int = 64                   # triangles per chunk for the sweep accel
     shortlist: int = 48                    # chunks tested per ray block (XLA chunked path)
@@ -255,7 +263,7 @@ class RenderConfig:
     # live tiles (gathered to a power-of-two tile capacity via lax.switch) —
     # exact, shape-static, and the XLA shading work shrinks with the wavefront
     compact_levels: bool = True
-    compact_buckets: int = 6               # capacities nt, nt/2, ..., nt/2^(b-1)
+    compact_buckets: int = 3               # capacities nt, nt/4, ..., nt/4^(b-1)
     # batch each level's shadow rays with the next level's reflection rays
     # into ONE closest query (one sweep invocation per level instead of
     # lights+1) — amortizes feature-build/chunk-mask/launch fixed costs

@@ -40,7 +40,9 @@ from jax.experimental.pallas import tpu as pltpu
 from realtrace_tpu.core.types import PARK_DISTANCE, RenderConfig, Scene
 from realtrace_tpu.ops.intersect import BIG
 
-LANES = 1024          # rays per kernel invocation (8 sublanes x 128 lanes worth)
+LANES = 1024          # default rays per kernel grid step (cfg.kernel_lanes
+                      # overrides: per-step fixed cost ~6.5us dominates the
+                      # ~1us chunk matmuls, so wider steps amortize it)
 FEAT = 16             # feature rows: [1, ro(3), rd(3), q(3), inv(3), pad(3)]
 FEAT_PAD = 128        # K pad for the streaming path's DMA alignment
 RESIDENT_LIMIT = 6 * 1024 * 1024  # max B bytes kept VMEM-resident
@@ -294,7 +296,7 @@ def _sweep(meta, chunk_list, counts, entry, feat, b, chunk_size: int,
             pl.BlockSpec((1, 1, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, m), lambda i, *_: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((FEAT, LANES), lambda i, *_: (0, i)),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # tri consts stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # tri consts stay in HBM
         ],
         scratch_shapes=scratch,
         out_specs=[

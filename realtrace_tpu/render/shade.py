@@ -383,7 +383,9 @@ def trace_wavefront(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
         hit_tl = jnp.any(valid0.reshape(nt, tile), axis=1)
         cnt = jnp.sum(hit_tl, dtype=jnp.int32)
 
-        caps = sorted({-(-nt // 16), -(-nt // 4), nt})
+        # tile capacities nt, nt/4, ..., nt/4^(buckets-1): one compiled branch
+        # per bucket, selected by the live-tile count at run time
+        caps = sorted({-(-nt // 4 ** k) for k in range(max(cfg.compact_buckets, 1))})
         caps_arr = jnp.asarray(caps, jnp.int32)
 
         def branch(cap: int):

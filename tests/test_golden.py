@@ -128,3 +128,39 @@ def test_parallel_stack_scene_semantics(reference_assets):
                                            dtype=DT, scale=2.0)
     assert scene.n_triangles == 2 * 14 + 2  # duplicated mesh + floor
     run_case(scene, cam, RenderConfig(max_depth=2, shadows=False), 40, 30)
+
+
+def test_golden_128_cached():
+    """>=128^2 golden vs a committed oracle artifact (tests/oracle/golden128.npz,
+    regenerate with tests/oracle/gen128.py). Sixteen 32x32 wavefront tiles +
+    reflective minority: catches tile-boundary and inter-level-compaction bugs
+    the 24-48 px oracle comparisons cannot see."""
+    import pathlib
+
+    from oracle.scene128 import CAM, SIZE, build_scene128, config
+
+    art = pathlib.Path(__file__).parent / "oracle" / "golden128.npz"
+    assert art.exists(), "run tests/oracle/gen128.py to regenerate the artifact"
+    want = np.load(art)["image"]
+    scene = build_scene128(dtype=DT)
+    cam = scenes.make_camera(CAM, SIZE, SIZE, dtype=DT)
+    got = render_image(scene, cam, config())
+    assert_images_match(got, want)
+
+
+def test_golden_128_cached_pallas():
+    """Same artifact through the flagship pallas accel path (interpret mode on
+    CPU) — pins the chunk-sweep kernel + compaction at a tile-spanning size."""
+    import pathlib
+
+    from oracle.scene128 import CAM, SIZE, build_scene128, config
+    from realtrace_tpu.ops import accel
+
+    art = pathlib.Path(__file__).parent / "oracle" / "golden128.npz"
+    assert art.exists(), "run tests/oracle/gen128.py to regenerate the artifact"
+    want = np.load(art)["image"]
+    cfg = config(accel="pallas")
+    scene = accel.with_chunks(build_scene128(dtype=DT), cfg)
+    cam = scenes.make_camera(CAM, SIZE, SIZE, dtype=DT)
+    got = render_image(scene, cam, cfg)
+    assert_images_match(got, want)
