@@ -24,10 +24,11 @@ def main() -> None:
     smoke = os.environ.get("RT_BENCH_SMOKE") == "1"
     if smoke:
         jax.config.update("jax_platforms", "cpu")
-    width = int(os.environ.get("RT_BENCH_WIDTH", 64 if smoke else 960))
-    height = int(os.environ.get("RT_BENCH_HEIGHT", 48 if smoke else 544))
-    depth = int(os.environ.get("RT_BENCH_DEPTH", 2))
-    accel_mode = os.environ.get("RT_BENCH_ACCEL", "chunked")
+    # defaults = the flagship config BENCH reports (1080p bob depth-3 pallas)
+    width = int(os.environ.get("RT_BENCH_WIDTH", 64 if smoke else 1920))
+    height = int(os.environ.get("RT_BENCH_HEIGHT", 48 if smoke else 1080))
+    depth = int(os.environ.get("RT_BENCH_DEPTH", 3))
+    accel_mode = os.environ.get("RT_BENCH_ACCEL", "chunked" if smoke else "pallas")
     repeats = 1 if smoke else 3
 
     from realtrace_tpu.apps import scenes
@@ -37,7 +38,9 @@ def main() -> None:
     from realtrace_tpu.render.pipeline import render_buffer
 
     cfg = RenderConfig(max_depth=depth, accel=accel_mode)
-    scene, cam = scenes.serial_obj_scene(dtype=jnp.float32)
+    scene, cam = scenes.serial_obj_scene(
+        texture_path=None if smoke else "/root/reference/Serial/bob_diffuse.png",
+        dtype=jnp.float32)
     if accel_mode != "bruteforce":
         scene = accel.with_chunks(scene, cfg)
     camera = scenes.make_camera(cam, width, height, dtype=jnp.float32)

@@ -45,36 +45,50 @@ def apply_params(scene: Scene, params: dict) -> Scene:
 
 
 def render_loss(params: dict, scene: Scene, camera: Camera, cfg: RenderConfig,
-                target: Array, branching: bool) -> Array:
+                target: Array, branching: bool,
+                resort: bool = False) -> Array:
     """Mean-squared pixel loss of the *unclamped* linear render vs target.
 
     (Unclamped so gradients don't die on saturated pixels; the clamp is a
-    display transform, Serial/renderengine.cpp:15-17.)
+    display transform, Serial/renderengine.cpp:15-17.) ``resort`` rebuilds the
+    accel chunk ordering on device from the CURRENT vertex params before
+    rendering — required for exact-speed sweeps when vertices are being
+    optimized (the ordering, unlike the per-trace AABBs, is otherwise stale).
     """
     s = apply_params(scene, params)
+    if resort and cfg.accel != "bruteforce" and s.n_triangles:
+        from realtrace_tpu.ops import accel
+        s = accel.resort_chunks(s, cfg)
     buf = render_buffer(s, camera, cfg, branching=branching)
     return jnp.mean((buf - target.reshape(-1, 3)) ** 2)
 
 
 def make_train_step(scene: Scene, camera: Camera, cfg: RenderConfig, target: Array,
                     optimizer: optax.GradientTransformation | None = None,
-                    fields=DIFF_FIELDS):
+                    fields=DIFF_FIELDS, resort_chunks: bool | None = None):
     """Build (jitted_step, params0, opt_state0) for inverse rendering.
 
     ``target`` is the flat or (H,W,3) goal image in linear color. One step =
     value_and_grad of the full differentiable render + optax update — the
     framework's "training step" (and the thing the multi-chip path shards).
+
+    ``resort_chunks`` (default: on exactly when vertices are optimized with a
+    chunked accel) rebuilds the Morton chunk ordering on device every step —
+    the analog of the CUDA GPU-side grid rebuild (Parellel/kernel.cu:457-522),
+    keeping the sweep's chunk AABBs tight as geometry moves.
     """
     branching = scene.has_dielectrics()
     optimizer = optimizer or optax.adam(1e-2)
     params0 = scene_params(scene, fields)
     opt_state0 = optimizer.init(params0)
     tgt = target.reshape(-1, 3)
+    if resort_chunks is None:
+        resort_chunks = "tri_vertices" in fields and cfg.accel != "bruteforce"
 
     @jax.jit
     def step(params, opt_state):
         loss, grads = jax.value_and_grad(render_loss)(
-            params, scene, camera, cfg, tgt, branching)
+            params, scene, camera, cfg, tgt, branching, resort_chunks)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

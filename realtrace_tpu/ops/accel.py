@@ -78,6 +78,67 @@ def with_chunks(scene: Scene, cfg: RenderConfig) -> Scene:
     return scene.replace(tri_chunk_perm=jnp.asarray(perm))
 
 
+def _spread10_jnp(v: Array) -> Array:
+    """uint32 10-bit coordinate -> every 3rd bit of 30 (device Morton)."""
+    u = jnp.uint32
+    v = (v | (v << u(16))) & u(0x030000FF)
+    v = (v | (v << u(8))) & u(0x0300F00F)
+    v = (v | (v << u(4))) & u(0x030C30C3)
+    v = (v | (v << u(2))) & u(0x09249249)
+    return v
+
+
+def chunk_perm_device(tri_vertices: Array, chunk_size: int) -> Array:
+    """jit-compatible Morton chunk permutation (device argsort).
+
+    The on-device analog of ``build_chunk_perm`` — the TPU counterpart of the
+    CUDA GPU-side grid rebuild (Parellel/kernel.cu:457-522) — so inverse
+    rendering of *vertices* (geometry that moves every step) can re-sort the
+    chunks inside the jitted train step instead of silently degrading the
+    sweep's chunk tightness with a stale host-built ordering. Shape-static:
+    padding repeats the last sorted triangle (duplicates give identical
+    nearest hits).
+    """
+    tv = lax.stop_gradient(tri_vertices)
+    n = tv.shape[0]
+    if n == 0:
+        return jnp.zeros((0,), jnp.int32)
+    cent = tv.mean(axis=1).astype(jnp.float32)               # (N,3)
+    lo = cent.min(axis=0)
+    hi = cent.max(axis=0)
+    ext = jnp.maximum(hi - lo, 1e-30)
+    q = jnp.clip((cent - lo[None]) / ext[None] * 1023.0, 0.0, 1023.0).astype(jnp.uint32)
+    code = (_spread10_jnp(q[:, 0]) | (_spread10_jnp(q[:, 1]) << jnp.uint32(1))
+            | (_spread10_jnp(q[:, 2]) << jnp.uint32(2)))
+    order = jnp.argsort(code, stable=True).astype(jnp.int32)
+    pad = (-n) % chunk_size
+    if pad:
+        order = jnp.concatenate([order, jnp.broadcast_to(order[-1], (pad,))])
+    return order
+
+
+def resort_chunks(scene: Scene, cfg: RenderConfig) -> Scene:
+    """Rebuild the chunk ordering from the CURRENT vertices, on device.
+
+    Safe to call inside jit/grad (topology-only, stop-gradient). Cheap — a
+    10k-element argsort is noise next to a frame — so geometry-optimizing
+    train loops can simply re-sort every step.
+    """
+    return scene.replace(
+        tri_chunk_perm=chunk_perm_device(scene.tri_vertices, cfg.chunk_size))
+
+
+def chunk_volume(scene: Scene, cfg: RenderConfig) -> Array:
+    """Staleness metric: total chunk-AABB volume under the current ordering.
+
+    Grows as optimization moves vertices away from the ordering's Morton
+    locality; compare against the value right after a re-sort to decide when
+    to rebuild (or just re-sort every step — see ``resort_chunks``).
+    """
+    _, lo, hi, _ = _sorted_chunks(scene, cfg)
+    return jnp.sum(jnp.prod(hi - lo, axis=-1))
+
+
 def _sorted_chunks(scene: Scene, cfg: RenderConfig):
     """(M, C, 3, 3) sorted triangle blocks + per-chunk AABBs, stop-gradient.
 

@@ -92,19 +92,25 @@ def sharded_render(scene: Scene, camera: Camera, cfg: RenderConfig, mesh: Mesh,
 def make_sharded_train_step(scene: Scene, camera: Camera, cfg: RenderConfig,
                             target_image: Array, mesh: Mesh,
                             optimizer: optax.GradientTransformation | None = None,
-                            fields=DIFF_FIELDS):
+                            fields=DIFF_FIELDS, resort_chunks: bool | None = None):
     """Sharded inverse-rendering step: per-device tile render + local grad,
     explicit ``psum`` of scene-parameter grads over the mesh, replicated
     optimizer update.
 
     ``target_image`` is the top-down (H, W, 3) goal; it is resharded to tiles
-    internally. Returns (jitted_step, params0, opt_state0).
+    internally. Returns (jitted_step, params0, opt_state0). ``resort_chunks``
+    rebuilds the accel chunk ordering on device from the current vertex params
+    (default: on exactly when vertices are optimized with a chunked accel);
+    the rebuild is deterministic on replicated inputs, so every device
+    computes the identical ordering with no extra collective.
     """
     branching = scene.has_dielectrics()
     optimizer = optimizer or optax.adam(1e-2)
     th, tw = _tile_dims(camera, mesh)
     denom = float(camera.height * camera.width * 3)
     target_buf = jnp.asarray(target_image)[::-1]      # buffer orientation
+    if resort_chunks is None:
+        resort_chunks = "tri_vertices" in fields and cfg.accel != "bruteforce"
 
     params0 = scene_params(scene, fields)
     opt_state0 = optimizer.init(params0)
@@ -116,6 +122,9 @@ def make_sharded_train_step(scene: Scene, camera: Camera, cfg: RenderConfig,
     def loss_and_grad(params, tgt_tile, scene, camera):
         def local_loss(p):
             s = apply_params(scene, p)
+            if resort_chunks and s.n_triangles and s.tri_chunk_perm is not None:
+                from realtrace_tpu.ops import accel
+                s = accel.resort_chunks(s, cfg)
             buf = _local_buffer(s, camera, cfg, branching, th, tw)
             return jnp.sum((buf - tgt_tile) ** 2) / denom
 

@@ -71,6 +71,75 @@ def test_chunked_golden_image_bob_matches_bruteforce(reference_assets):
     assert (err > 1e-6).mean() <= 0.002, f"max {err.max()}, frac {(err>1e-6).mean()}"
 
 
+def test_device_perm_matches_host_perm():
+    scene = random_tri_scene(100)
+    host = accel.build_chunk_perm(scene.tri_vertices, 64)
+    dev = np.asarray(accel.chunk_perm_device(scene.tri_vertices, 64))
+    assert dev.shape == host.shape
+    assert len(set(dev[:100].tolist())) == 100  # valid permutation
+    cfg = RenderConfig(accel="chunked", chunk_size=64)
+    v_host = float(accel.chunk_volume(scene.replace(tri_chunk_perm=jnp.asarray(host)), cfg))
+    v_dev = float(accel.chunk_volume(scene.replace(tri_chunk_perm=jnp.asarray(dev)), cfg))
+    np.testing.assert_allclose(v_dev, v_host, rtol=0.05)
+
+
+def test_on_device_resort_restores_tightness_and_exactness():
+    """Moving geometry (inverse rendering of vertices) invalidates the Morton
+    ordering; the on-device re-sort must restore chunk tightness while hits
+    stay exact under ANY ordering (AABBs are recomputed per trace)."""
+    import jax
+
+    scene = random_tri_scene(256, seed=7)
+    cfg = RenderConfig(accel="chunked", chunk_size=32, shortlist=8, ray_block=64)
+    scene = accel.with_chunks(scene, cfg)
+    v_fresh = float(accel.chunk_volume(scene, cfg))
+
+    # scatter half the triangles far away: ordering now badly stale
+    rng = np.random.default_rng(0)
+    tv = np.array(scene.tri_vertices)
+    sel = rng.permutation(256)[:128]
+    tv[sel] += rng.uniform(-40, 40, (128, 1, 3))
+    moved = scene.replace(tri_vertices=jnp.asarray(tv, DT))
+    v_stale = float(accel.chunk_volume(moved, cfg))
+
+    resorted = jax.jit(lambda s: accel.resort_chunks(s, cfg))(moved)
+    v_resort = float(accel.chunk_volume(resorted, cfg))
+    assert v_resort < 0.5 * v_stale, (v_fresh, v_stale, v_resort)
+
+    # exactness is ordering-independent: stale and resorted agree with brute
+    # force (chunked shortlist sized to cover all chunks here)
+    cfg_all = dataclasses.replace(cfg, shortlist=256 // 32)
+    ro, rd = random_rays(200, seed=2)
+    t_ref, _, _ = intersect.triangle_test(ro, rd, moved.tri_vertices,
+                                          cfg.det_epsilon, cfg.smallest_dist)
+    t_best = np.asarray(jnp.min(t_ref, axis=1))
+    for s in (moved, resorted):
+        t, _ = accel.closest_triangle(s, ro, rd, cfg_all)
+        np.testing.assert_allclose(np.asarray(t), t_best, atol=1e-9)
+
+
+def test_train_step_resorts_chunks_on_device():
+    """A vertex-optimizing train step with a chunked accel re-sorts inside jit
+    (compiles and runs; the loss is finite and decreases over a few steps)."""
+    from realtrace_tpu.diff.inverse import make_train_step
+    from realtrace_tpu.render.camera import Camera
+
+    scene = random_tri_scene(64, seed=9)
+    cfg = RenderConfig(accel="chunked", chunk_size=16, shortlist=4,
+                       ray_block=256, max_depth=1)
+    scene = accel.with_chunks(scene, cfg)
+    camera = Camera.make((0, 0, 30), (0, 0, 0), (0, 1, 0), 45.0, 16, 16, dtype=DT)
+    target = jnp.zeros((16 * 16, 3), DT)
+    step, params, opt_state = make_train_step(
+        scene, camera, cfg, target, fields=("tri_vertices", "tri_colors"))
+    losses = []
+    for _ in range(3):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] <= losses[0]
+
+
 def test_any_hit_chunked_matches_bruteforce():
     scene = random_tri_scene(130, seed=5)
     cfg_c = RenderConfig(accel="chunked", chunk_size=32, shortlist=16, ray_block=128)
