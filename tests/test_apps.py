@@ -80,3 +80,88 @@ def test_invert_cli_recovers(tmp_path):
     tgt = load_png(tmp_path / "target.png")
     # the optimized render should be close to the target almost everywhere
     assert (np.abs(rec - tgt).max(axis=-1) < 0.08).mean() > 0.95
+
+
+# ---------------------------------------------------------------------------
+# live viewer (the reference's interactive GLUT loop, terminal edition)
+# ---------------------------------------------------------------------------
+
+def _tiny_viewer(tmp_path):
+    from realtrace_tpu.apps import scenes
+    from realtrace_tpu.apps.viewer import Viewer
+    from realtrace_tpu.core.types import RenderConfig
+    from realtrace_tpu.render.camera import InteractiveCamera
+    import io
+
+    scene, _ = scenes.sphere_plane_scene()
+    orbit = InteractiveCamera(radius=85.0, pitch=0.78, resolution=(32, 16))
+    cfg = RenderConfig(max_depth=1, accel="bruteforce")
+    return Viewer(scene, orbit, cfg, out=io.StringIO(), save_dir=str(tmp_path))
+
+
+def test_viewer_parse_events_keys_and_mouse():
+    from realtrace_tpu.apps.viewer import parse_events
+
+    ev, rest = parse_events("q\x1b[A\x1b[<0;10;5M\x1b[<32;14;7M\x1b[<0;14;7m")
+    assert rest == ""
+    assert ev[0] == ("key", "q")
+    assert ev[1] == ("key", "up")
+    assert ev[2] == ("mouse", "left", 10, 5, "press")
+    assert ev[3] == ("mouse", "left", 14, 7, "drag")
+    assert ev[4] == ("mouse", "left", 14, 7, "release")
+    # incomplete escape is kept for the next read
+    ev, rest = parse_events("\x1b[<0;3")
+    assert ev == [] and rest == "\x1b[<0;3"
+
+
+def test_viewer_orbit_keys_change_camera_and_rerender(tmp_path):
+    v = _tiny_viewer(tmp_path)
+    v.render()
+    yaw0, img0 = v.orbit.yaw, v.last_img.copy()
+    assert v.handle_input("\x1b[C")             # right arrow: yaw
+    assert v.orbit.yaw != yaw0
+    assert v.frames == 2                        # input triggered a re-render
+    assert (v.last_img != img0).any()
+    r0 = v.orbit.radius
+    assert v.handle_input("z")
+    assert v.orbit.radius < r0
+    assert not v.handle_input("q")              # quit
+
+
+def test_viewer_mouse_drag_orbits(tmp_path):
+    v = _tiny_viewer(tmp_path)
+    v.render()
+    yaw0, pitch0 = v.orbit.yaw, v.orbit.pitch
+    assert v.handle_input("\x1b[<0;10;5M\x1b[<32;20;9M\x1b[<0;20;9m")
+    assert v.orbit.yaw != yaw0 and v.orbit.pitch != pitch0
+
+
+def test_viewer_save_writes_png_and_status_has_fps(tmp_path):
+    v = _tiny_viewer(tmp_path)
+    v.render()
+    assert v.handle_input("s")
+    pngs = list(tmp_path.glob("*.png"))
+    assert len(pngs) == 1
+    img = load_png(pngs[0])
+    assert img.shape == (16, 32, 3)
+    assert "FPS" in v.status() and "Mrays" in v.status()
+
+
+def test_viewer_ansi_frame_shapes():
+    from realtrace_tpu.apps.viewer import ansi_frame
+
+    img = np.zeros((4, 3, 3), np.uint8)
+    img[0] = (255, 0, 0)
+    s = ansi_frame(img, "hello")
+    assert "hello" in s and s.count("▀") == 6    # 3 cols x 2 cell-rows
+    assert "38;2;255;0;0" in s
+
+
+def test_viewer_scripted_main(tmp_path, monkeypatch):
+    from realtrace_tpu.apps.viewer import main as viewer_main
+
+    monkeypatch.chdir(tmp_path)
+    viewer_main(["--scene", "sphere", "--width", "32", "--height", "16",
+                 "--depth", "1", "--cpu", "--accel", "bruteforce",
+                 "--script", "\x1b[Czsq", "--save-dir", str(tmp_path)])
+    assert list(tmp_path.glob("*.png"))
