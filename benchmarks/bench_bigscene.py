@@ -1,0 +1,127 @@
+"""Big-scene benchmark: the HBM-streaming sweep path on >25k-triangle scenes.
+
+Scenes over RESIDENT_LIMIT can't keep the triangle-constants table VMEM-
+resident; they stream per-chunk slices with double-buffered DMA
+(ops/pallas/trace._kernel_stream). This bench:
+
+  1. bob x2 (21,376 tris, table ~5.5MB): runs BOTH variants — resident
+     (default) and streaming (forced by shrinking RESIDENT_LIMIT) — the
+     apples-to-apples overhead check (target: streaming within ~1.5x).
+  2. bob x4 (42,752 tris, ~10.9MB): streaming only (over the limit), the
+     actual big-scene configuration.
+
+Prints one JSON line per run. Usage: python benchmarks/bench_bigscene.py (TPU).
+Env: RT_BENCH_WIDTH/HEIGHT/DEPTH/REPEATS.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def dup_scene(n_copies: int, dtype=jnp.float32):
+    """bob duplicated on an x/z offset grid (the CUDA app duplicates bob at
+    x±5, Parellel/main.cu:167-181 — generalized to n copies)."""
+    from realtrace_tpu.apps import scenes
+
+    scene, cam = scenes.serial_obj_scene(
+        texture_path="/root/reference/Serial/bob_diffuse.png", dtype=dtype)
+    tv = np.asarray(scene.tri_vertices)
+    tc = np.asarray(scene.tri_colors)
+    offs = [(0.0, 0.0), (18.0, 0.0), (0.0, 18.0), (18.0, 18.0),
+            (-18.0, 0.0), (0.0, -18.0)][:n_copies]
+    tvs, tcs = [], []
+    for ox, oz in offs:
+        t = tv.copy()
+        t[..., 0] += ox
+        t[..., 2] += oz
+        tvs.append(t)
+        tcs.append(tc)
+    import jax.tree_util as jtu
+
+    mats = jtu.tree_map(lambda x: jnp.concatenate([x] * n_copies),
+                        scene.tri_materials)
+    scene = scene.replace(tri_vertices=jnp.asarray(np.concatenate(tvs)),
+                          tri_colors=jnp.asarray(np.concatenate(tcs)),
+                          tri_materials=mats)
+    return scene, cam
+
+
+def bench(scene, cam, cfg, label: str, repeats: int, width: int, height: int):
+    from realtrace_tpu.apps import scenes
+    from realtrace_tpu.render.pipeline import render_with_stats
+
+    camera = scenes.make_camera(cam, width, height, dtype=jnp.float32)
+
+    @jax.jit
+    def frame(scene, camera):
+        return render_with_stats(scene, camera, cfg, branching=False)
+
+    t0 = time.perf_counter()
+    img, nrays = frame(scene, camera)
+    jax.block_until_ready(img)
+    print(f"[bigscene:{label}] compile+first: {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        img, nrays = frame(scene, camera)
+    jax.block_until_ready(img)
+    dt = (time.perf_counter() - t0) / repeats
+    mrays = float(nrays) / dt / 1e6
+    print(json.dumps({
+        "metric": f"forward Mrays/s/chip {width}x{height} {label}",
+        "value": round(mrays, 3), "unit": "Mrays/s",
+        "frame_ms": round(dt * 1e3, 2),
+        "rays_per_frame_M": round(float(nrays) / 1e6, 3),
+    }), flush=True)
+    return mrays
+
+
+def main() -> None:
+    width = int(os.environ.get("RT_BENCH_WIDTH", 1920))
+    height = int(os.environ.get("RT_BENCH_HEIGHT", 1080))
+    depth = int(os.environ.get("RT_BENCH_DEPTH", 2))
+    repeats = int(os.environ.get("RT_BENCH_REPEATS", 3))
+
+    from realtrace_tpu.core.types import RenderConfig
+    from realtrace_tpu.ops import accel
+    from realtrace_tpu.ops.pallas import trace as ptrace
+
+    cfg = RenderConfig(max_depth=depth, accel="pallas", chunk_size=64)
+
+    # ---- bob x2: resident vs forced-streaming on the SAME scene ----------
+    scene2, cam = dup_scene(2)
+    scene2 = accel.with_chunks(scene2, cfg)
+    m_res = bench(scene2, cam, cfg, "bob_x2 21k tris (resident)",
+                  repeats, width, height)
+    saved = ptrace.RESIDENT_LIMIT
+    ptrace.RESIDENT_LIMIT = 0          # force the streaming variant
+    try:
+        m_str = bench(scene2, cam, cfg, "bob_x2 21k tris (streaming forced)",
+                      repeats, width, height)
+    finally:
+        ptrace.RESIDENT_LIMIT = saved
+    print(json.dumps({
+        "metric": "streaming/resident frame-time ratio bob_x2",
+        "value": round(m_res / m_str, 3), "unit": "x (target <= 1.5)",
+    }), flush=True)
+
+    # ---- bob x4: over the VMEM limit -> streaming by construction --------
+    scene4, cam = dup_scene(4)
+    scene4 = accel.with_chunks(scene4, cfg)
+    pack = ptrace.build_pack(scene4, cfg)
+    assert not pack.resident, "expected the over-limit scene to stream"
+    bench(scene4, cam, cfg, "bob_x4 43k tris (streaming)", repeats, width, height)
+
+
+if __name__ == "__main__":
+    main()

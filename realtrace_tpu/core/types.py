@@ -235,7 +235,6 @@ class RenderConfig:
     """
 
     max_depth: int = RECURSION_DEPTH       # Serial/world.h:11
-    split_depth: int = 3                   # dielectric binary-tree levels before falling back to reflection-only
     phong_exp: int = 128                   # hard-coded exponent, Serial/world.cpp:134
     shadows: bool = True
     shadow_blend: float = 1e-4             # finalColor*(1e-4)+shadowColor*(1-1e-4), Serial/world.cpp:63
@@ -264,6 +263,11 @@ class RenderConfig:
     # exact, shape-static, and the XLA shading work shrinks with the wavefront
     compact_levels: bool = True
     compact_buckets: int = 3               # capacities nt, nt/4, ..., nt/4^(b-1)
+    # second compaction for bounce levels >= 2 (they run at the level-0 cap
+    # otherwise, though usually only self-reflection survives): capacity
+    # ladder cap, cap/4, ..., cap/4^(b-1) selected by live-tile count. 0
+    # disables (levels 2+ stay at the level-0 capacity).
+    deep_buckets: int = 3
     # batch each level's shadow rays with the next level's reflection rays
     # into ONE closest query (one sweep invocation per level instead of
     # lights+1) — amortizes feature-build/chunk-mask/launch fixed costs

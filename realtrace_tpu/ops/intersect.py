@@ -153,12 +153,14 @@ def cylinder_test(ro: Array, rd: Array, center: Array, up: Array, radius: Array,
 # ---------------------------------------------------------------------------
 
 def _tri_closest(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
-                 pack=None):
+                 pack=None, feat=None):
     """Nearest triangle per ray: (t, idx) with BIG/-1 for miss.
 
     Dispatches on cfg.accel. The pallas path returns SORTED-space indices
     (mapped back to originals through the shade table's index column —
-    avoiding a narrow 2M-ray permutation gather).
+    avoiding a narrow 2M-ray permutation gather). ``feat`` optionally supplies
+    a prebuilt (FEAT, R) accel feature matrix (the pipeline builds the primary
+    wavefront's row-major, skipping a full-wavefront relayout).
     """
     if scene.n_triangles == 0:
         r = ro.shape[0]
@@ -170,7 +172,8 @@ def _tri_closest(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
         return tbest, jnp.where(tbest < BIG, idx, -1)
     if cfg.accel == "pallas":
         from realtrace_tpu.ops.pallas import trace
-        return trace.closest_triangle(scene, ro, rd, cfg, pack=pack, raw_idx=True)
+        return trace.closest_triangle(scene, ro, rd, cfg, pack=pack,
+                                      raw_idx=True, feat=feat)
     from realtrace_tpu.ops import accel
     return accel.closest_triangle(scene, ro, rd, cfg)
 
@@ -187,7 +190,7 @@ def _family_min(cands):
 
 
 def closest_query(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
-                  pack=None):
+                  pack=None, feat=None):
     """Forward-only nearest-hit SELECTION over all primitive families:
     ``(t_fwd, fam, idx)`` per ray (idx is family-local; triangles in pallas
     mode are SORTED-space — ``hit_attributes`` maps back). Split from the
@@ -198,7 +201,8 @@ def closest_query(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
 
     cands = []
     t_tri, idx_tri = _tri_closest(scene, lax.stop_gradient(ro), lax.stop_gradient(rd),
-                                  cfg, pack=pack)
+                                  cfg, pack=pack,
+                                  feat=None if feat is None else lax.stop_gradient(feat))
     cands.append((t_tri, jnp.where(idx_tri >= 0, FAM_TRI, FAM_NONE), idx_tri))
 
     sro, srd = lax.stop_gradient(ro), lax.stop_gradient(rd)

@@ -142,10 +142,11 @@ def _kernel_resident(meta_ref, list_ref, count_ref, entry_ref, feat_ref, b_ref,
     zero per-chunk HBM traffic. The transposed-LHS contraction is a native
     MXU mode (the stationary operand loads transposed for free).
 
-    The visible-chunk list arrives sorted FRONT-TO-BACK by each chunk's
-    conservative tile-entry bound (entry_ref); the sweep exits as soon as
-    every remaining chunk lies beyond every live lane's nearest hit — the
-    exact-version of the reference DDA's first-hit-voxel break
+    entry_ref[j] is a lower bound on the entry distance of EVERY listed chunk
+    at index >= j (a suffix min — equal to the entry itself when the list is
+    front-to-back sorted, as the exact mask produces); the sweep exits as
+    soon as that bound exceeds every live lane's nearest hit — the exact
+    version of the reference DDA's first-hit-voxel break
     (Serial/uniform-grid.cpp:251). any_mode additionally exits once every
     live lane is occluded (shadow rays want ANY hit, not the nearest)."""
     c = chunk_size
@@ -199,9 +200,11 @@ def _kernel_stream(meta_ref, list_ref, count_ref, entry_ref, feat_ref, b_ref,
                    any_mode: bool, precision):
     """Streaming variant for scenes too big for VMEM: per-chunk (4C, FEAT_PAD)
     constants double-buffer-DMA'd from HBM, prefetch overlapping the matmul.
-    (No front-to-back early exit here — the prefetch bookkeeping must stay in
-    lockstep with the loop index; entry_ref is unused.)"""
-    del entry_ref
+
+    Has the SAME front-to-back early exit as the resident kernel (the
+    big-scene case is exactly where skipping far chunks matters most): the
+    prefetch runs one chunk ahead of the compute, so an early exit wastes at
+    most the single in-flight fetch, which the epilogue drains."""
     c = chunk_size
     a = feat_ref[:]
     n = count_ref[0, 0, 0]
@@ -210,6 +213,7 @@ def _kernel_stream(meta_ref, list_ref, count_ref, entry_ref, feat_ref, b_ref,
     a2_scratch[4:7] = a[4:7]
     # zero the unused K rows once (0 * garbage-NaN would poison the matmul)
     a2_scratch[10:] = jnp.zeros((FEAT_PAD - 10, LANES), jnp.float32)
+    parked = a[1:2] == PARK_DISTANCE                 # (1, LANES) dead lanes
 
     def start_fetch(j, slot):
         # unconditional (index clamped): one redundant fetch past the end
@@ -223,7 +227,11 @@ def _kernel_stream(meta_ref, list_ref, count_ref, entry_ref, feat_ref, b_ref,
     def _():
         start_fetch(jnp.asarray(0, n.dtype), jnp.asarray(0, n.dtype))
 
-    def step(j, best_t, best_i):
+    def cond(carry):
+        return carry[0]
+
+    def body(carry):
+        _, j, best_t, best_i = carry
         two = jnp.asarray(2, j.dtype)
         slot = lax.rem(j, two)
         m = list_ref[0, 0, j]
@@ -234,20 +242,27 @@ def _kernel_stream(meta_ref, list_ref, count_ref, entry_ref, feat_ref, b_ref,
         bm = b_scratch[slot]                         # (4C, FEAT_PAD)
         p = jnp.dot(bm, a2_scratch[:], preferred_element_type=jnp.float32,
                     precision=precision)             # (4C, LANES)
-        return _reduce_update(p, best_t, best_i, m, c, det_eps, t_min, any_mode)
+        best_t, best_i = _reduce_update(p, best_t, best_i, m, c, det_eps,
+                                        t_min, any_mode)
+        nj = j + 1
+        jc = jnp.minimum(nj, n - 1)
+        go = (nj < n) & (entry_ref[0, 0, jc] <= _live_max_t(best_t, parked))
+        if any_mode:
+            go = go & ~jnp.all(parked | (best_i >= 0))
+        return go, nj, best_t, best_i
 
-    init = (jnp.full((1, LANES), BIG, jnp.float32),
+    init = (n > 0, jnp.zeros((), n.dtype),
+            jnp.full((1, LANES), BIG, jnp.float32),
             jnp.full((1, LANES), -1, jnp.int32))
-    best_t, best_i = lax.fori_loop(0, n, lambda j, carry: step(j, *carry), init)
-    # (any-mode early exit is only in the resident variant: the streaming
-    # prefetch bookkeeping must stay in lockstep with the loop index)
+    _, j_exit, best_t, best_i = lax.while_loop(cond, body, init)
 
     @pl.when(n > 0)
     def _():
-        # drain the one outstanding prefetch started by the last iteration
-        jc = jnp.maximum(n - 1, 0)
+        # drain the one outstanding prefetch: the last body iteration started
+        # a fetch for chunk min(j_exit, n-1) into slot j_exit % 2
+        jc = jnp.minimum(j_exit, jnp.maximum(n - 1, 0))
         m = list_ref[0, 0, jc]
-        sl = lax.rem(n, jnp.asarray(2, n.dtype))
+        sl = lax.rem(j_exit, jnp.asarray(2, n.dtype))
         pltpu.make_async_copy(b_ref.at[m], b_scratch.at[sl],
                               dma_sems.at[sl]).wait()
 
@@ -359,14 +374,33 @@ def _chunk_mask(ro, rd, lo, hi, nt):
     tf_hi = far_hi.min(-1)
     entry = jnp.maximum(tn_lo, 0.0)          # conservative tile-entry bound
     mask = (tf_hi >= entry) & tile_live[:, None]
-    # compact: visible chunks first, sorted FRONT-TO-BACK by entry bound so
-    # the kernel can stop once remaining chunks lie beyond every live lane's
-    # nearest hit (ordering never affects results — only how early it exits)
-    order = jnp.argsort(jnp.where(mask, entry, jnp.inf), axis=1,
-                        stable=True).astype(jnp.int32)
-    entry_sorted = jnp.take_along_axis(entry, order, axis=1)
+    # compact WITHOUT a sort (an argsort here cost ~4ms/frame at 1080p):
+    # visible chunks keep Morton order via a cumsum-position scatter; the
+    # early-exit bound is the SUFFIX MIN of the remaining entries, which is
+    # exact under any ordering (the kernel stops only when no remaining chunk
+    # can contain a nearer hit). For the near-empty primary tiles (mean <1
+    # chunk) front-to-back ordering bought nothing anyway.
+    return _compact_unsorted(mask, entry)
+
+
+def _compact_unsorted(mask, entry):
+    """(chunk_list, exit_bound, counts) from a visibility mask, sort-free.
+
+    ``exit_bound[j]`` = min of entry over listed chunks j.. — the kernel's
+    while-loop reads it where a sorted list would read ``entry[j]``; both
+    satisfy the exit invariant "no chunk at index >= j can produce a hit
+    nearer than bound[j]"."""
+    nt, m = mask.shape
+    pos = jnp.cumsum(mask, axis=1, dtype=jnp.int32) - 1
+    p = jnp.where(mask, pos, m)                         # invisible -> dropped
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nt, m), 0)
+    ids = jax.lax.broadcasted_iota(jnp.int32, (nt, m), 1)
+    chunk_list = jnp.zeros((nt, m), jnp.int32).at[rows, p].set(ids, mode="drop")
+    entry_list = jnp.full((nt, m), BIG, jnp.float32).at[rows, p].set(
+        entry.astype(jnp.float32), mode="drop")
+    exit_bound = lax.cummin(entry_list[:, ::-1], axis=1)[:, ::-1]
     counts = jnp.sum(mask, axis=1, dtype=jnp.int32)
-    return order[:, None, :], entry_sorted[:, None, :], counts[:, None, None]
+    return chunk_list[:, None, :], exit_bound[:, None, :], counts[:, None, None]
 
 
 def _chunk_mask_exact(ro, rd, lo, hi, nt):
@@ -451,12 +485,15 @@ def build_pack(scene: Scene, cfg: RenderConfig) -> AccelPack:
 
 def closest_triangle(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
                      any_mode: bool = False, pack: AccelPack | None = None,
-                     raw_idx: bool = False):
+                     raw_idx: bool = False, feat: Array | None = None):
     """accel-API entry: nearest triangle (t, index) via the Pallas chunk
     sweep. Forward-only (callers stop gradients). ``any_mode`` turns the
     query into first-hit occlusion (shadow rays). ``raw_idx`` returns the
     SORTED-space index (for callers that gather from a sorted table), which
     skips a 20ms/2M-ray permutation gather; default is the original index.
+    ``feat`` optionally supplies the (FEAT, R) feature matrix prebuilt in row
+    layout (see render/pipeline._primary_features) — skips ``_features``'s
+    full-wavefront transpose.
     """
     if pack is None:
         pack = build_pack(scene, cfg)
@@ -472,7 +509,11 @@ def closest_triangle(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
         rd32 = jnp.concatenate([rd.astype(f32), jnp.ones((pad_n, 3), f32)])
     else:
         ro32, rd32 = ro.astype(f32), rd.astype(f32)
-    feat = _features(ro32, rd32)                              # (FEAT, R')
+    if feat is None:
+        feat = _features(ro32, rd32)                          # (FEAT, R')
+    else:
+        assert feat.shape == (FEAT, ro32.shape[0]), (feat.shape, ro32.shape)
+        feat = feat.astype(f32)
     nt = feat.shape[1] // LANES
     # exact per-ray masks for compacted (secondary) widths, interval masks
     # for full-width primary wavefronts where O(R*M) would dominate

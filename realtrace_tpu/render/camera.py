@@ -12,7 +12,7 @@ import math
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
-from jax import Array
+from jax import Array, lax
 
 from realtrace_tpu.core import vec
 
@@ -85,6 +85,26 @@ class Camera:
         yw = (jnp.asarray(j_idx, dt) - self.height / 2.0 + 0.5) / self.height
         d = (-w)[None, :] * focal + u[None, :] * xw[:, None] + v[None, :] * yw[:, None]
         return vec.normalize(d)
+
+    def ray_direction_rows(self, i_idx, j_idx) -> tuple[Array, Array, Array]:
+        """Normalized ray-direction COMPONENTS (dx, dy, dz), each (R,).
+
+        Row-major counterpart of ``ray_directions_at`` for consumers that want
+        component rows (the accel's (FEAT, R) feature matrix) — building rows
+        directly avoids a (R,3)→(3,R) relayout of the whole wavefront.
+        """
+        dt = self.position.dtype
+        u, v, w = self.basis()
+        aspect = self.width / self.height
+        focal = 1.0 / (2.0 * jnp.tan(self.fovy * (math.pi / 180.0) / 2.0))
+        xw = aspect * (jnp.asarray(i_idx, dt) - self.width / 2.0 + 0.5) / self.width
+        yw = (jnp.asarray(j_idx, dt) - self.height / 2.0 + 0.5) / self.height
+        dx = -w[0] * focal + u[0] * xw + v[0] * yw
+        dy = -w[1] * focal + u[1] * xw + v[1] * yw
+        dz = -w[2] * focal + u[2] * xw + v[2] * yw
+        # 1/sqrt (not rsqrt) to match vec.normalize bit-for-bit
+        inv = 1.0 / jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        return dx * inv, dy * inv, dz * inv
 
     def ray_directions_tile(self, i0, j0, tile_w: int, tile_h: int) -> Array:
         """Ray directions for the pixel tile [i0, i0+tile_w) x [j0, j0+tile_h)

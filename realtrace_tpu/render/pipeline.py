@@ -91,11 +91,55 @@ def _tiled_rays(camera: Camera):
     return ro, rd, coeff, inv
 
 
+def _primary_features(camera: Camera, cfg: RenderConfig):
+    """Accel feature matrix (FEAT, R) for the primary wavefront, built ROW-
+    MAJOR straight from the camera math — each row is elementwise in (i, j),
+    so no (R, 16) → (16, R) relayout of the whole wavefront (measured ~3ms
+    at 1080p). Bitwise-matches ops/pallas/trace._features: direction rows are
+    normalized in camera precision then cast to f32, and the derived rows
+    (rd x ro, 1/rd) are computed in f32 from the already-masked components.
+    """
+    from realtrace_tpu.ops.intersect import BIG as BIG_F
+    from realtrace_tpu.ops.pallas.trace import FEAT
+
+    f32 = jnp.float32
+    ii, jj, valid, _ = _tile_maps(camera.width, camera.height)
+    dx, dy, dz = (c.astype(f32) for c in camera.ray_direction_rows(ii, jj))
+    px, py, pz = (camera.position.astype(f32)[k] for k in range(3))
+    one = jnp.ones_like(dx)
+    if not valid.all():
+        v = jnp.asarray(valid)
+        park = jnp.asarray(PARK_DISTANCE, f32)
+        rox, roy, roz = (jnp.where(v, p, park) for p in (px, py, pz))
+        rox, roy, roz = (jnp.broadcast_to(r, dx.shape) for r in (rox, roy, roz))
+        dx = jnp.where(v, dx, 1.0)
+        dy = jnp.where(v, dy, 0.0)
+        dz = jnp.where(v, dz, 0.0)
+    else:
+        rox, roy, roz = (jnp.broadcast_to(p, dx.shape) for p in (px, py, pz))
+    qx = dy * roz - dz * roy
+    qy = dz * rox - dx * roz
+    qz = dx * roy - dy * rox
+    inv = [jnp.where(d != 0.0, 1.0 / jnp.where(d != 0.0, d, 1.0), BIG_F)
+           for d in (dx, dy, dz)]
+    pad = jnp.zeros_like(dx)
+    rows = [one, rox, roy, roz, dx, dy, dz, qx, qy, qz, *inv] \
+        + [pad] * (FEAT - 13)
+    return jnp.stack(rows)
+
+
+def _feat0(scene: Scene, camera: Camera, cfg: RenderConfig):
+    if cfg.accel == "pallas" and scene.n_triangles:
+        return _primary_features(camera, cfg)
+    return None
+
+
 def render_buffer(scene: Scene, camera: Camera, cfg: RenderConfig,
                   branching: bool | None = None) -> Array:
     """Render to a flat (H*W, 3) linear color buffer (unclamped)."""
     ro, rd, coeff, _ = _tiled_rays(camera)
-    buf = trace_wavefront(scene, ro, rd, cfg, branching=branching, coeff=coeff)
+    buf = trace_wavefront(scene, ro, rd, cfg, branching=branching, coeff=coeff,
+                          feat0=_feat0(scene, camera, cfg))
     return _untile(buf, camera)
 
 
@@ -117,7 +161,8 @@ def render_with_stats(scene: Scene, camera: Camera, cfg: RenderConfig,
     """
     ro, rd, coeff, _ = _tiled_rays(camera)
     accum, nrays = trace_wavefront(scene, ro, rd, cfg, branching=branching,
-                                   coeff=coeff, with_stats=True)
+                                   coeff=coeff, with_stats=True,
+                                   feat0=_feat0(scene, camera, cfg))
     img = jnp.clip(image_from_buffer(_untile(accum, camera), camera), 0.0, 1.0)
     return img, nrays
 

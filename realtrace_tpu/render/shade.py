@@ -2,11 +2,13 @@
 (Serial/world.cpp:32-111) flattened into dense per-level wavefront steps.
 
 Recursion → iteration: each bounce level processes ALL pixel rays as one dense
-batch (``lax.scan`` when the ray count per level is constant — the no-dielectric
-case — or an unrolled doubling tree for dielectric scenes, generalizing the
-CUDA reference's static depth-2 / 7-buffer wavefront scheduler,
-Parellel/kernel.cu:564-604). Dead rays are masked, never compacted — TPU lanes
-prefer dense masked work over stream compaction (SURVEY §7 hard part (b)).
+batch — a constant-lane ``lax.scan`` in the no-dielectric case, and a flat
+2W-wide (reflect ‖ refract) compacted wavefront with per-lane pixel-slot
+scatter for dielectric scenes — generalizing the CUDA reference's static
+depth-2 / 7-buffer wavefront scheduler (Parellel/kernel.cu:564-604). Within a
+level dead rays are masked/parked, never compacted mid-level; between levels
+the wavefront shrinks to hit tiles (and, for dielectrics, to live children) by
+shape-static gathers (SURVEY §7 hard part (b)).
 
 All steps are differentiable; discrete decisions (hit selection, shadowing,
 material branch) are held fixed via stop_gradient inside closest_hit/any_hit.
@@ -248,43 +250,158 @@ def _children(scene: Scene, hit: Hit, ro: Array, rd: Array, coeff: Array,
     return contrib, child_r, child_t
 
 
-def _merged_query(scene: Scene, hit: Hit, valid: Array, child_r, cfg: RenderConfig,
+def _merged_query(scene: Scene, hit: Hit, valid: Array, children, cfg: RenderConfig,
                   pack=None):
     """ONE batched closest query covering this level's shadow rays (one
-    segment per light) and the next level's reflection rays — a single sweep
-    invocation instead of (lights + 1), amortizing the per-invocation fixed
-    costs (feature build, chunk mask + argsort, kernel launch).
+    segment per light) and the next level's child rays (one segment per child
+    wavefront) — a single sweep invocation instead of (lights + children),
+    amortizing the per-invocation fixed costs (feature build, chunk mask +
+    argsort, kernel launch).
 
+    ``children`` is one ``(ro, rd, coeff)`` triple or a list of them.
     Occlusion semantics match ``any_hit``: anything with t > SMALLEST_DIST
-    occludes (fam != FAM_NONE). Returns (shadowed | None, (t, fam, idx) of
-    the child segment).
+    occludes (fam != FAM_NONE). Returns (shadowed | None, [(t, fam, idx) per
+    child segment]).
     """
-    ro_r, rd_r, _ = child_r
+    if not isinstance(children[0], (list, tuple)):   # single (ro, rd, coeff)
+        children = [children]
+    ro_cs = [c[0] for c in children]
+    rd_cs = [c[1] for c in children]
     nl = scene.lights.position.shape[0] if cfg.shadows else 0
     if nl == 0:
-        return None, closest_query(scene, ro_r, rd_r, cfg, pack=pack)
-    sh = _shadow_targets(scene, lax.stop_gradient(hit.position),
-                         lax.stop_gradient(valid), cfg)
-    ros = jnp.concatenate([o for o, _ in sh] + [ro_r])
-    rds = jnp.concatenate([d for _, d in sh] + [rd_r])
-    t, fam, idx = closest_query(scene, ros, rds, cfg, pack=pack)
-    r = ro_r.shape[0]
-    occ = jnp.zeros((r,), bool)
-    for l in range(nl):
-        occ |= fam[l * r:(l + 1) * r] != FAM_NONE
-    s = nl * r
-    return occ, (t[s:], fam[s:], idx[s:])
+        t, fam, idx = closest_query(scene, jnp.concatenate(ro_cs),
+                                    jnp.concatenate(rd_cs), cfg, pack=pack)
+        occ = None
+    else:
+        sh = _shadow_targets(scene, lax.stop_gradient(hit.position),
+                             lax.stop_gradient(valid), cfg)
+        ros = jnp.concatenate([o for o, _ in sh] + ro_cs)
+        rds = jnp.concatenate([d for _, d in sh] + rd_cs)
+        t, fam, idx = closest_query(scene, ros, rds, cfg, pack=pack)
+        r = hit.t.shape[0]
+        occ = jnp.zeros((r,), bool)
+        for l in range(nl):
+            occ |= fam[l * r:(l + 1) * r] != FAM_NONE
+        s = nl * r
+        t, fam, idx = t[s:], fam[s:], idx[s:]
+    out = []
+    s = 0
+    for ro_c in ro_cs:
+        e = s + ro_c.shape[0]
+        out.append((t[s:e], fam[s:e], idx[s:e]))
+        s = e
+    return occ, out
+
+
+def _compact_children(child_r, child_t, pix: Array):
+    """Fold a level's (reflect ‖ refract) children — 2K candidate lanes —
+    back into K lanes by liveness compaction.
+
+    The stable boolean sort keeps live lanes in (reflect-block, refract-block)
+    order, so spatial coherence within each block survives for the accel's
+    chunk masks. Capacity: K lanes for up to 2K live children; in Whitted
+    scenes most lanes are non-dielectric (one child) or dead, so K = 2 x the
+    level-0 width is ample — if it ever overflows, the tail (latest refract
+    children, geometrically-decayed coefficients) is dropped.
+
+    ``pix`` maps each lane to its output pixel slot (children inherit the
+    parent's). Returns (ro, rd, coeff, pix) at width K.
+    """
+    k = pix.shape[0]
+    ro2 = jnp.concatenate([child_r[0], child_t[0]])
+    rd2 = jnp.concatenate([child_r[1], child_t[1]])
+    coeff2 = jnp.concatenate([child_r[2], child_t[2]])
+    pix2 = jnp.concatenate([pix, pix])
+    live = jnp.any(lax.stop_gradient(coeff2) > 0.0, axis=-1)
+    order = jnp.argsort(~live, stable=True)[:k].astype(jnp.int32)
+    return ro2[order], rd2[order], coeff2[order], pix2[order]
+
+
+def _branch_entry(scene: Scene, ro0: Array, rd0: Array, coeff0: Array,
+                  pix0: Array, accum: Array, cfg: RenderConfig, pack,
+                  count_rays, q0=None, miss_background: bool = True,
+                  count_level0: bool = True, feat0=None):
+    """Level 0 of the flat dielectric wavefront at width W.
+
+    Shades level 0, spawns its (reflect ‖ refract) children as a K = 2W lane
+    wavefront (no compaction needed — 2W children of W lanes), and issues the
+    merged query (shadow segments + the FULL child wavefront in ONE sweep).
+    Returns (carry, accum, nrays) where carry is the `_branch_levels` scan
+    state. ``q0`` optionally reuses an already-computed level-0 query.
+    """
+    if q0 is None:
+        q0 = closest_query(scene, ro0, rd0, cfg, pack=pack, feat=feat0)
+    t0, fam0, idx0 = q0
+    hit0 = hit_attributes(scene, ro0, rd0, t0, fam0, idx0, cfg, pack=pack)
+    nrays = count_rays(coeff0, hit0) if count_level0 else jnp.zeros((), jnp.float32)
+    valid0, isd0, child_r, child_t = _children_geom(scene, hit0, ro0, rd0,
+                                                    coeff0, cfg)
+    ro_k = jnp.concatenate([child_r[0], child_t[0]])
+    rd_k = jnp.concatenate([child_r[1], child_t[1]])
+    coeff_k = jnp.concatenate([child_r[2], child_t[2]])
+    pix_k = jnp.concatenate([pix0, pix0])
+    if cfg.max_depth == 0:   # children are never consumed: park their query
+        ro_q, rd_q = _park_dead(ro_k, rd_k, jnp.zeros((ro_k.shape[0],), bool))
+    else:
+        ro_q, rd_q = ro_k, rd_k
+    occ0, [qk] = _merged_query(scene, hit0, valid0, (ro_q, rd_q, coeff_k),
+                               cfg, pack=pack)
+    contrib0 = _local_contrib(scene, hit0, rd0, coeff0, valid0, isd0, cfg,
+                              pack=pack, miss_background=miss_background,
+                              shadowed=occ0)
+    accum = accum.at[pix0].add(contrib0, mode="drop")
+    carry = (ro_k, rd_k, coeff_k, pix_k, *qk, accum, nrays)
+    return carry
+
+
+def _branch_levels(scene: Scene, cfg: RenderConfig, pack, carry, count_rays):
+    """Dielectric bounce levels 1..max_depth as a constant-width lax.scan.
+
+    Each step: differentiable attributes from the carried query → (reflect ‖
+    refract) children → liveness compaction back to K lanes → ONE merged
+    query (this level's shadow rays + the compacted next wavefront) →
+    contribution scatter through the per-lane pixel-slot map. This replaces
+    the former unrolled binary ray tree (2^depth full-width queries, no
+    compaction, inline shadow queries) with the same machinery the
+    non-branching path uses, at exactly 2x a non-branching level's width.
+    Ref semantics: Serial/world.cpp:77-109 (dielectric/reflective branches).
+
+    Returns (accum, nrays) with depth-exceeded children folded to background.
+    """
+    def step(carry, is_last):
+        ro_s, rd_s, coeff_s, pix, t, fam, idx, accum, nrays = carry
+        hit = hit_attributes(scene, ro_s, rd_s, t, fam, idx, cfg, pack=pack)
+        nrays = nrays + count_rays(coeff_s, hit)
+        valid, is_diel, child_r, child_t = _children_geom(scene, hit, ro_s,
+                                                          rd_s, coeff_s, cfg)
+        ro_n, rd_n, coeff_n, pix_n = _compact_children(child_r, child_t, pix)
+        ro_q, rd_q = _park_dead(ro_n, rd_n,
+                                jnp.broadcast_to(~is_last, pix.shape))
+        occ, [qn] = _merged_query(scene, hit, valid, (ro_q, rd_q, coeff_n),
+                                  cfg, pack=pack)
+        contrib = _local_contrib(scene, hit, rd_s, coeff_s, valid, is_diel,
+                                 cfg, pack=pack, shadowed=occ)
+        accum = accum.at[pix].add(contrib, mode="drop")
+        return (ro_n, rd_n, coeff_n, pix_n, *qn, accum, nrays), None
+
+    if cfg.max_depth > 0:
+        xs = jnp.arange(cfg.max_depth) == cfg.max_depth - 1
+        carry, _ = lax.scan(step, carry, xs)
+    _, _, coeff_f, pix_f, _, _, _, accum, nrays = carry
+    # depth-exceeded live children → background (Serial/world.cpp:37-39 analog)
+    accum = accum.at[pix_f].add(coeff_f * scene.background[None], mode="drop")
+    return accum, nrays
 
 
 def trace_wavefront(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
                     branching: bool | None = None, coeff: Array | None = None,
-                    with_stats: bool = False):
+                    with_stats: bool = False, feat0: Array | None = None):
     """Trace a wavefront of rays to completion; returns accumulated color
     (R,3) and, optionally, the traced-ray count (for Mrays/s accounting).
 
-    ``branching=None`` auto-selects: dielectric scenes get a binary ray tree
-    unrolled for ``cfg.split_depth`` levels then reflection-only continuation;
-    otherwise a constant-lane ``lax.scan`` over ``cfg.max_depth+1`` levels.
+    ``branching=None`` auto-selects: dielectric scenes get the flat 2W-wide
+    compacted (reflect ‖ refract) wavefront (``_branch_levels``); otherwise a
+    constant-lane ``lax.scan`` over ``cfg.max_depth+1`` levels.
     """
     if branching is None:
         branching = scene.has_dielectrics()
@@ -332,7 +449,7 @@ def trace_wavefront(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
             # merged-query scan: each iteration shades the CURRENT level from
             # the carried query result and issues ONE batched query (shadow
             # segments + next level's reflection rays)
-            q0 = closest_query(scene, ro, rd, cfg, pack=pack)
+            q0 = closest_query(scene, ro, rd, cfg, pack=pack, feat=feat0)
 
             def step(carry, is_last):
                 ro_s, rd_s, coeff_s, t, fam, idx, accum, nrays = carry
@@ -345,9 +462,9 @@ def trace_wavefront(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
                 # the child segment so the sweep masks its work to zero
                 ro_q, rd_q = _park_dead(ro_r, rd_r,
                                         jnp.broadcast_to(~is_last, valid.shape))
-                occ, (tn, famn, idxn) = _merged_query(scene, hit, valid,
-                                                      (ro_q, rd_q, coeff_r),
-                                                      cfg, pack=pack)
+                occ, [(tn, famn, idxn)] = _merged_query(scene, hit, valid,
+                                                        (ro_q, rd_q, coeff_r),
+                                                        cfg, pack=pack)
                 contrib = _local_contrib(scene, hit, rd_s, coeff_s, valid, is_diel,
                                          cfg, pack=pack, shadowed=occ)
                 return (ro_r, rd_r, coeff_r, tn, famn, idxn,
@@ -372,7 +489,7 @@ def trace_wavefront(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
         # per level) — never the rays. Replaces the previous per-level
         # gather/scatter of the full carry, which cost ~11ms/level at 1080p.
         dt = ro.dtype
-        t0, fam0, idx0 = closest_query(scene, ro, rd, cfg, pack=pack)
+        t0, fam0, idx0 = closest_query(scene, ro, rd, cfg, pack=pack, feat=feat0)
         active0 = jnp.any(coeff > 0.0, axis=-1)
         valid0 = (fam0 != FAM_NONE) & active0
         nrays0 = (jnp.sum(active0.astype(jnp.float32))
@@ -430,8 +547,8 @@ def trace_wavefront(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
                         ro_q, rd_q = _park_dead(ro_r, rd_r, dead)
                     else:
                         ro_q, rd_q = ro_r, rd_r
-                    occ0, q1 = _merged_query(scene, hit0, valid0,
-                                             (ro_q, rd_q, coeff_r), cfg, pack=pack)
+                    occ0, [q1] = _merged_query(scene, hit0, valid0,
+                                               (ro_q, rd_q, coeff_r), cfg, pack=pack)
                     contrib0 = _local_contrib(scene, hit0, rd_c, coeff_c, valid0,
                                               isd0, cfg, pack=pack,
                                               miss_background=False, shadowed=occ0)
@@ -451,7 +568,7 @@ def trace_wavefront(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
                     ro_n, rd_n, coeff_n = child_n
                     ro_q, rd_q = _park_dead(ro_n, rd_n,
                                             jnp.broadcast_to(~is_last, valid.shape))
-                    occ, (tn, famn, idxn) = _merged_query(
+                    occ, [(tn, famn, idxn)] = _merged_query(
                         scene, hit, valid, (ro_q, rd_q, coeff_n), cfg, pack=pack)
                     contrib = _local_contrib(scene, hit, rd_s, coeff_s, valid,
                                              is_diel, cfg, pack=pack, shadowed=occ)
@@ -486,12 +603,97 @@ def trace_wavefront(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
                             rd_n[inv_order], coeff_n[inv_order])
                     return (ro_n, rd_n, coeff_n, put(accum, contrib), nrays), None
 
+                def deep_phase(carry):
+                    # ---- deep-level re-compaction: levels >= 2 run at a
+                    # SECOND, smaller tile capacity. Level 1 is as wide as
+                    # level 0's hits (every reflective hit spawns a child),
+                    # but by level 2 only self-reflection survives — on bob
+                    # 1080p that's a handful of tiles shading at 128-tile
+                    # width. Gather the live tiles of the level-2 wavefront
+                    # (lax.switch over a cap ladder, as at level 0) and scan
+                    # the remaining levels there. Contributions scatter per
+                    # LANE through a global pixel-slot map (tile scatter can't
+                    # compose across two gathers), pads to the sentinel r.
+                    ro_s, rd_s, coeff_s, t_s, fam_s, idx_s, accum, nrays_c = carry
+                    accum_f = accum.reshape(r, 3)
+                    live2 = jnp.any(lax.stop_gradient(coeff_s) > 0.0, axis=-1)
+                    live_tl2 = jnp.any(live2.reshape(cap, tile), axis=1)
+                    cnt2 = jnp.sum(live_tl2, dtype=jnp.int32)
+                    caps2 = sorted({-(-cap // 4 ** k)
+                                    for k in range(max(cfg.deep_buckets, 1))})
+
+                    def deep_branch(cap2: int):
+                        def db(op):
+                            ro_s, rd_s, coeff_s, t_s, fam_s, idx_s, accum_f, nrays_c = op
+                            sel = jnp.nonzero(live_tl2, size=cap2,
+                                              fill_value=cap)[0].astype(jnp.int32)
+                            ssafe = jnp.minimum(sel, cap - 1)
+
+                            def h3(x):
+                                return x.reshape(cap, tile, 3)[ssafe].reshape(cap2 * tile, 3)
+
+                            def h1(x):
+                                return x.reshape(cap, tile)[ssafe].reshape(cap2 * tile)
+
+                            padlive2 = jnp.repeat(sel < cap, tile)
+                            ro2, rd2, coeff2 = h3(ro_s), h3(rd_s), h3(coeff_s)
+                            coeff2 = jnp.where(padlive2[:, None], coeff2, 0.0)
+                            t2, fam2, idx2 = h1(t_s), h1(fam_s), h1(idx_s)
+                            fam2 = jnp.where(padlive2, fam2, FAM_NONE)
+                            lane = jnp.arange(tile, dtype=jnp.int32)
+                            gtile = tsafe[ssafe]              # global tile id
+                            pix = jnp.where(
+                                padlive2,
+                                (gtile[:, None] * tile + lane[None, :]).reshape(-1),
+                                r)
+
+                            def step_pix(carry, is_last):
+                                ro_s, rd_s, coeff_s, t, fam, idx, accum, nrays = carry
+                                hit = hit_attributes(scene, ro_s, rd_s, t, fam,
+                                                     idx, cfg, pack=pack)
+                                nrays = nrays + count_rays(coeff_s, hit)
+                                valid, is_diel, child_n, _ = _children_geom(
+                                    scene, hit, ro_s, rd_s, coeff_s, cfg)
+                                ro_n, rd_n, coeff_n = child_n
+                                ro_q, rd_q = _park_dead(
+                                    ro_n, rd_n,
+                                    jnp.broadcast_to(~is_last, valid.shape))
+                                occ, [(tn, famn, idxn)] = _merged_query(
+                                    scene, hit, valid, (ro_q, rd_q, coeff_n),
+                                    cfg, pack=pack)
+                                contrib = _local_contrib(scene, hit, rd_s,
+                                                         coeff_s, valid, is_diel,
+                                                         cfg, pack=pack,
+                                                         shadowed=occ)
+                                accum = accum.at[pix].add(contrib, mode="drop")
+                                return (ro_n, rd_n, coeff_n, tn, famn, idxn,
+                                        accum, nrays), None
+
+                            carry2 = (ro2, rd2, coeff2, t2, fam2, idx2,
+                                      accum_f, nrays_c)
+                            xs2 = jnp.arange(cfg.max_depth - 1) == cfg.max_depth - 2
+                            carry2, _ = lax.scan(step_pix, carry2, xs2)
+                            coeff_d2, accum2, nrays2 = carry2[2], carry2[6], carry2[7]
+                            accum2 = accum2.at[pix].add(
+                                coeff_d2 * scene.background[None], mode="drop")
+                            return accum2, nrays2
+                        return db
+
+                    b2 = jnp.sum(cnt2 > jnp.asarray(caps2, jnp.int32))
+                    return lax.switch(b2, [deep_branch(c2) for c2 in caps2],
+                                      (ro_s, rd_s, coeff_s, t_s, fam_s, idx_s,
+                                       accum_f, nrays_c))
+
                 if merged:
                     carry = (ro_r, rd_r, coeff_r, *q1, accum,
                              jnp.zeros((), jnp.float32))
+                    deep = cfg.max_depth >= 2 and cfg.deep_buckets >= 1
                     if cfg.max_depth > 0:
-                        xs = jnp.arange(cfg.max_depth) == cfg.max_depth - 1
+                        n_a = 1 if deep else cfg.max_depth    # levels at cap width
+                        xs = jnp.arange(n_a) == cfg.max_depth - 1
                         carry, _ = lax.scan(step_merged, carry, xs)
+                    if deep:
+                        return deep_phase(carry)
                     coeff_d, accum, nrays_d = carry[2], carry[6], carry[7]
                 else:
                     carry = (ro_r, rd_r, coeff_r, accum, jnp.zeros((), jnp.float32))
@@ -508,28 +710,70 @@ def trace_wavefront(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
                                     (t0, fam0, idx0, coeff))
         return (accum, nrays0 + nrays_d) if with_stats else accum
 
-    # ---- branching (dielectric) mode: unrolled doubling tree -------------
-    rays = [(ro, rd, coeff)]
-    accum = jnp.zeros_like(ro)
-    nrays = jnp.zeros((), jnp.float32)
-    for level in range(cfg.max_depth + 1):
-        new_rays = []
-        for (o, d, cf) in rays:
-            hit = closest_hit(scene, o, d, cfg, pack=pack)
-            nrays = nrays + count_rays(cf, hit)
-            contrib, child_r, child_t = _children(scene, hit, o, d, cf, cfg, pack=pack)
-            accum = accum + contrib
-            new_rays.append(child_r)
-            if level < cfg.split_depth:
-                new_rays.append(child_t)
-            else:
-                # beyond split_depth: fold refraction energy into nothing
-                # (reflection-only continuation); energy conservation checked
-                # in tests for split_depth >= scene needs.
-                pass
-        rays = new_rays
-        if level == cfg.max_depth:
-            for (o, d, cf) in rays:
-                accum = accum + cf * scene.background[None]
-            rays = []
-    return (accum, nrays) if with_stats else accum
+    # ---- branching (dielectric) mode: flat compacted 2W-wide wavefront ----
+    # (replaces an unrolled binary ray tree: 2^depth full-width queries with
+    # inline shadow queries; see _branch_levels)
+    r = ro.shape[0]
+    tile = WAVEFRONT_TILE
+    nt = r // tile if r % tile == 0 else 0
+
+    if not (cfg.compact_levels and nt >= 4):
+        pix = jnp.arange(r, dtype=jnp.int32)
+        accum = jnp.zeros_like(ro)
+        carry = _branch_entry(scene, ro, rd, coeff, pix, accum, cfg, pack,
+                              count_rays, feat0=feat0)
+        accum, nrays = _branch_levels(scene, cfg, pack, carry, count_rays)
+        return (accum, nrays) if with_stats else accum
+
+    # hit-tile compaction at level 0, as in the non-branching path: the only
+    # full-width pass is the level-0 query; all differentiable shading and
+    # every deeper bounce runs at the gathered hit-tile width
+    t0, fam0, idx0 = closest_query(scene, ro, rd, cfg, pack=pack, feat=feat0)
+    active0 = jnp.any(coeff > 0.0, axis=-1)
+    valid0 = (fam0 != FAM_NONE) & active0
+    nrays0 = (jnp.sum(active0.astype(jnp.float32))
+              + nl * jnp.sum(valid0.astype(jnp.float32)))
+    accum0 = jnp.where((active0 & (fam0 == FAM_NONE))[:, None],
+                       coeff * scene.background[None], 0.0)
+    hit_tl = jnp.any(valid0.reshape(nt, tile), axis=1)
+    cnt = jnp.sum(hit_tl, dtype=jnp.int32)
+    caps = sorted({-(-nt // 4 ** k) for k in range(max(cfg.compact_buckets, 1))})
+    caps_arr = jnp.asarray(caps, jnp.int32)
+
+    def branch(cap: int):
+        def br(operand):
+            t0, fam0, idx0, coeff_f, accum0 = operand
+            tidx = jnp.nonzero(hit_tl, size=cap, fill_value=nt)[0].astype(jnp.int32)
+            tsafe = jnp.minimum(tidx, nt - 1)
+
+            def g3(x):
+                return x.reshape(nt, tile, 3)[tsafe].reshape(cap * tile, 3)
+
+            def g1(x):
+                return x.reshape(nt, tile)[tsafe].reshape(cap * tile)
+
+            ro_c, rd_c, coeff_c = g3(ro), g3(rd), g3(coeff_f)
+            t_c, fam_c, idx_c = g1(t0), g1(fam0), g1(idx0)
+            padlive = jnp.repeat(tidx < nt, tile)
+            coeff_c = jnp.where(padlive[:, None], coeff_c, 0.0)
+            fam_c = jnp.where(padlive, fam_c, FAM_NONE)
+            # per-lane pixel-slot map: compacted children migrate across
+            # tiles, so contributions scatter per lane; pads get the
+            # out-of-range sentinel r (dropped by the scatter)
+            lane = jnp.arange(tile, dtype=jnp.int32)
+            pix = jnp.where(padlive,
+                            (tsafe[:, None] * tile + lane[None, :]).reshape(-1),
+                            r)
+            # level 0 was already counted at FULL width in nrays0 (active
+            # misses outside hit tiles included) — entry must not recount
+            carry = _branch_entry(scene, ro_c, rd_c, coeff_c, pix, accum0,
+                                  cfg, pack, count_rays,
+                                  q0=(t_c, fam_c, idx_c.astype(jnp.int32)),
+                                  miss_background=False, count_level0=False)
+            return _branch_levels(scene, cfg, pack, carry, count_rays)
+        return br
+
+    b = jnp.sum(cnt > caps_arr)
+    accum, nrays_d = lax.switch(b, [branch(c) for c in caps],
+                                (t0, fam0, idx0, coeff, accum0))
+    return (accum, nrays0 + nrays_d) if with_stats else accum

@@ -49,7 +49,7 @@ def test_full_primitives_with_dielectric():
     """All four families incl. a dielectric cylinder → branching wavefront."""
     scene, cam = scenes.full_primitive_scene(dtype=DT)
     assert scene.has_dielectrics()
-    run_case(scene, cam, RenderConfig(max_depth=3, split_depth=3), 48, 32)
+    run_case(scene, cam, RenderConfig(max_depth=3), 48, 32)
 
 
 def test_no_shadow_mode():
