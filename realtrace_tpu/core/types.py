@@ -272,6 +272,11 @@ class RenderConfig:
     # into ONE closest query (one sweep invocation per level instead of
     # lights+1) — amortizes feature-build/chunk-mask/launch fixed costs
     merge_queries: bool = True
+    # shadows as a separate batched FIRST-HIT (any-mode) sweep instead of
+    # riding the merged closest query: occlusion gets the division-free
+    # OR-reduce kernel epilogue and the all-occluded early exit; shadow rays
+    # dominate secondary sweep work (profiled ~60% of per-level visits)
+    shadow_any_mode: bool = True
     # re-tile compacted secondary wavefronts by a spatial Morton/octant key so
     # the accel's per-tile interval masks stay tight after a bounce.
     # Default OFF: on TPU the sort+permute apparatus measured ~+37ms/frame at

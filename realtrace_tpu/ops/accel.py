@@ -73,9 +73,19 @@ def build_chunk_perm(tri_vertices, chunk_size: int) -> np.ndarray:
 
 
 def with_chunks(scene: Scene, cfg: RenderConfig) -> Scene:
-    """Attach the chunk permutation to the scene (stored as an int32 leaf)."""
-    perm = build_chunk_perm(scene.tri_vertices, cfg.chunk_size)
-    return scene.replace(tri_chunk_perm=jnp.asarray(perm))
+    """Attach the chunk permutation to the scene (stored as an int32 leaf).
+
+    Uses the ON-DEVICE Morton build (one jitted argsort) — scene arrays
+    already live on the accelerator, and pulling vertices back to the host
+    (the old numpy build) costs a device->host transfer on a path that the
+    remote-TPU tunnel makes expensive. ``build_chunk_perm`` remains as the
+    host/numpy reference implementation (tests compare the two).
+    """
+    if scene.n_triangles == 0:
+        return scene.replace(tri_chunk_perm=jnp.zeros((0,), jnp.int32))
+    perm = jax.jit(chunk_perm_device, static_argnums=1)(
+        scene.tri_vertices, cfg.chunk_size)
+    return scene.replace(tri_chunk_perm=perm)
 
 
 def _spread10_jnp(v: Array) -> Array:

@@ -272,6 +272,23 @@ def _merged_query(scene: Scene, hit: Hit, valid: Array, children, cfg: RenderCon
         t, fam, idx = closest_query(scene, jnp.concatenate(ro_cs),
                                     jnp.concatenate(rd_cs), cfg, pack=pack)
         occ = None
+    elif cfg.shadow_any_mode:
+        # shadows as ONE batched first-hit (any-mode) query: the occlusion
+        # sweep runs the division-free OR-reduce epilogue and can exit as
+        # soon as every live lane is occluded — shadow rays are the dominant
+        # share of secondary sweep work (they cross the whole model toward
+        # the light), so they get the cheap epilogue while the (closest)
+        # child query keeps min/argmin.
+        sh = _shadow_targets(scene, lax.stop_gradient(hit.position),
+                             lax.stop_gradient(valid), cfg)
+        occ_all = any_hit(scene, jnp.concatenate([o for o, _ in sh]),
+                          jnp.concatenate([d for _, d in sh]), cfg, pack=pack)
+        r = hit.t.shape[0]
+        occ = jnp.zeros((r,), bool)
+        for l in range(nl):
+            occ |= occ_all[l * r:(l + 1) * r]
+        t, fam, idx = closest_query(scene, jnp.concatenate(ro_cs),
+                                    jnp.concatenate(rd_cs), cfg, pack=pack)
     else:
         sh = _shadow_targets(scene, lax.stop_gradient(hit.position),
                              lax.stop_gradient(valid), cfg)
@@ -604,48 +621,45 @@ def trace_wavefront(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
                     return (ro_n, rd_n, coeff_n, put(accum, contrib), nrays), None
 
                 def deep_phase(carry):
-                    # ---- deep-level re-compaction: levels >= 2 run at a
-                    # SECOND, smaller tile capacity. Level 1 is as wide as
-                    # level 0's hits (every reflective hit spawns a child),
-                    # but by level 2 only self-reflection survives — on bob
-                    # 1080p that's a handful of tiles shading at 128-tile
-                    # width. Gather the live tiles of the level-2 wavefront
-                    # (lax.switch over a cap ladder, as at level 0) and scan
-                    # the remaining levels there. Contributions scatter per
-                    # LANE through a global pixel-slot map (tile scatter can't
-                    # compose across two gathers), pads to the sentinel r.
+                    # ---- deep-level re-compaction, LANE-granular: levels
+                    # >= 2 run at a second, smaller width. Level 1 is as wide
+                    # as level 0's hits (every reflective hit spawns a
+                    # child), but only re-hits survive to level 2 — and they
+                    # scatter across tiles, so gather live LANES (stable
+                    # liveness sort keeps surviving neighbors adjacent for
+                    # the accel's chunk masks), not whole tiles. Widths come
+                    # from a lax.switch ladder; contributions scatter per
+                    # lane through a global pixel-slot map (pads/dead keep
+                    # contributing zeros through their own slots).
                     ro_s, rd_s, coeff_s, t_s, fam_s, idx_s, accum, nrays_c = carry
                     accum_f = accum.reshape(r, 3)
                     live2 = jnp.any(lax.stop_gradient(coeff_s) > 0.0, axis=-1)
-                    live_tl2 = jnp.any(live2.reshape(cap, tile), axis=1)
-                    cnt2 = jnp.sum(live_tl2, dtype=jnp.int32)
+                    cnt2 = jnp.sum(live2, dtype=jnp.int32)
+                    # global pixel slot of each phase-A lane
+                    lane = jnp.arange(tile, dtype=jnp.int32)
+                    pix_a = (tsafe[:, None] * tile + lane[None, :]).reshape(-1)
+                    pix_a = jnp.where(jnp.repeat(tidx < nt, tile), pix_a, r)
+                    order2 = jnp.argsort(~live2, stable=True).astype(jnp.int32)
                     caps2 = sorted({-(-cap // 4 ** k)
                                     for k in range(max(cfg.deep_buckets, 1))})
 
                     def deep_branch(cap2: int):
                         def db(op):
                             ro_s, rd_s, coeff_s, t_s, fam_s, idx_s, accum_f, nrays_c = op
-                            sel = jnp.nonzero(live_tl2, size=cap2,
-                                              fill_value=cap)[0].astype(jnp.int32)
-                            ssafe = jnp.minimum(sel, cap - 1)
+                            sel = order2[:cap2 * tile]
 
                             def h3(x):
-                                return x.reshape(cap, tile, 3)[ssafe].reshape(cap2 * tile, 3)
+                                return x[sel]
 
                             def h1(x):
-                                return x.reshape(cap, tile)[ssafe].reshape(cap2 * tile)
+                                return x[sel]
 
-                            padlive2 = jnp.repeat(sel < cap, tile)
+                            padlive2 = live2[sel]
                             ro2, rd2, coeff2 = h3(ro_s), h3(rd_s), h3(coeff_s)
                             coeff2 = jnp.where(padlive2[:, None], coeff2, 0.0)
                             t2, fam2, idx2 = h1(t_s), h1(fam_s), h1(idx_s)
                             fam2 = jnp.where(padlive2, fam2, FAM_NONE)
-                            lane = jnp.arange(tile, dtype=jnp.int32)
-                            gtile = tsafe[ssafe]              # global tile id
-                            pix = jnp.where(
-                                padlive2,
-                                (gtile[:, None] * tile + lane[None, :]).reshape(-1),
-                                r)
+                            pix = jnp.where(padlive2, pix_a[sel], r)
 
                             def step_pix(carry, is_last):
                                 ro_s, rd_s, coeff_s, t, fam, idx, accum, nrays = carry
@@ -679,7 +693,7 @@ def trace_wavefront(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
                             return accum2, nrays2
                         return db
 
-                    b2 = jnp.sum(cnt2 > jnp.asarray(caps2, jnp.int32))
+                    b2 = jnp.sum(cnt2 > jnp.asarray(caps2, jnp.int32) * tile)
                     return lax.switch(b2, [deep_branch(c2) for c2 in caps2],
                                       (ro_s, rd_s, coeff_s, t_s, fam_s, idx_s,
                                        accum_f, nrays_c))
