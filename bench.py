@@ -17,6 +17,7 @@ RT_BENCH_HITHEAVY=0 to skip the secondary config.
 """
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -32,7 +33,7 @@ def main() -> None:
     width = int(os.environ.get("RT_BENCH_WIDTH", 64 if smoke else 1920))
     height = int(os.environ.get("RT_BENCH_HEIGHT", 48 if smoke else 1080))
     depth = int(os.environ.get("RT_BENCH_DEPTH", 3))
-    repeats = int(os.environ.get("RT_BENCH_REPEATS", 1 if smoke else 5))
+    repeats = int(os.environ.get("RT_BENCH_REPEATS", 1 if smoke else 10))
     accel_mode = os.environ.get("RT_BENCH_ACCEL", "pallas")
 
     from realtrace_tpu.apps import scenes
@@ -50,26 +51,48 @@ def main() -> None:
         scene = accel.with_chunks(scene, cfg)
     camera = scenes.make_camera(cam, width, height, dtype=jnp.float32)
 
-    @jax.jit
-    def frame(scene, camera):
-        return render_with_stats(scene, camera, cfg, branching=False)
+    from jax import lax
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def frames(scene, camera, n: int):
+        # n frames in ONE device program, each with a sub-micron camera
+        # jitter: per-frame host dispatch through the remote-TPU tunnel
+        # costs ~10-20ms AND identical executions have been observed to be
+        # served from a cache — a fori_loop of distinct frames measures pure
+        # steady-state device time
+        def body(i, carry):
+            acc, nr = carry
+            cam_i = camera.replace(
+                position=camera.position + i.astype(camera.position.dtype) * 1e-6)
+            img, nrays = render_with_stats(scene, cam_i, cfg, branching=False)
+            return acc + jnp.mean(img), nr + nrays
+        return lax.fori_loop(0, n, body, (jnp.zeros(()), jnp.zeros(())))
 
     import sys
 
     def run(camera, tag):
         t0 = time.perf_counter()
-        img, nrays = frame(scene, camera)       # compile + warm-up
-        jax.block_until_ready(img)
+        out = jax.block_until_ready(frames(scene, camera, 1))
         print(f"[bench:{tag}] compile+first frame: {time.perf_counter() - t0:.1f}s",
               file=sys.stderr, flush=True)
-        t0 = time.perf_counter()
-        for _ in range(repeats):
-            img, nrays = frame(scene, camera)
-        jax.block_until_ready(img)
-        dt = (time.perf_counter() - t0) / repeats
+        # two timed attempts, take the min: the remote tunnel intermittently
+        # stalls a dispatch for tens of seconds, which would otherwise land
+        # in the measurement
+        dt1 = dt0 = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            acc, nrays_tot = jax.block_until_ready(frames(scene, camera, repeats + 1))
+            dt1 = min(dt1, time.perf_counter() - t0)   # repeats+1 frames
+        for _ in range(2):
+            t0 = time.perf_counter()
+            jax.block_until_ready(frames(scene, camera, 1))
+            dt0 = min(dt0, time.perf_counter() - t0)   # 1 frame (cancels dispatch)
+        dt = max((dt1 - dt0) / repeats, 1e-9)
+        nrays = float(nrays_tot) / (repeats + 1)
         print(f"[bench:{tag}] steady frame: {dt*1e3:.1f} ms, "
-              f"rays/frame: {float(nrays)/1e6:.2f}M", file=sys.stderr, flush=True)
-        return float(nrays) / dt / 1e6
+              f"rays/frame: {nrays/1e6:.2f}M, checksum {float(acc):.5f}",
+              file=sys.stderr, flush=True)
+        return nrays / dt / 1e6
 
     # secondary: hit-heavy close framing (~60% of pixels hit bob) — reported
     # FIRST so the headline metric stays the last JSON line for the driver

@@ -263,11 +263,14 @@ class RenderConfig:
     # exact, shape-static, and the XLA shading work shrinks with the wavefront
     compact_levels: bool = True
     compact_buckets: int = 3               # capacities nt, nt/4, ..., nt/4^(b-1)
-    # second compaction for bounce levels >= 2 (they run at the level-0 cap
-    # otherwise, though usually only self-reflection survives): capacity
-    # ladder cap, cap/4, ..., cap/4^(b-1) selected by live-tile count. 0
-    # disables (levels 2+ stay at the level-0 capacity).
-    deep_buckets: int = 3
+    # second, LANE-granular compaction for bounce levels >= 2: capacity
+    # ladder cap, cap/4, ..., cap/4^(b-1) selected by live-lane count. 0
+    # disables (levels 2+ stay at the level-0 capacity). DEFAULT OFF: TPU
+    # row-granular gathers + scatter-adds measured ~130ms/frame at a 522k-lane
+    # rung (hit-heavy 1080p) and +1.2ms even on the sparse headline frame —
+    # more than the shrunken shading saves. Kept for scenes with deep cheap
+    # tails; revisit if a tile-granular deep scatter lands.
+    deep_buckets: int = 0
     # batch each level's shadow rays with the next level's reflection rays
     # into ONE closest query (one sweep invocation per level instead of
     # lights+1) — amortizes feature-build/chunk-mask/launch fixed costs

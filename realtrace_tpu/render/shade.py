@@ -693,8 +693,23 @@ def trace_wavefront(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
                             return accum2, nrays2
                         return db
 
+                    def full_branch(op):
+                        # top rung (cap2 == cap): nothing shrinks, so skip the
+                        # lane gather + per-lane scatter entirely (full-width
+                        # arbitrary scatters cost SECONDS at 2M lanes on TPU)
+                        # and keep scanning at cap width with tile puts
+                        ro_s, rd_s, coeff_s, t_s, fam_s, idx_s, accum_f, nrays_c = op
+                        carry = (ro_s, rd_s, coeff_s, t_s, fam_s, idx_s,
+                                 accum_f.reshape(nt, tile, 3), nrays_c)
+                        xs2 = jnp.arange(cfg.max_depth - 1) == cfg.max_depth - 2
+                        carry, _ = lax.scan(step_merged, carry, xs2)
+                        coeff_d, accum2, nrays2 = carry[2], carry[6], carry[7]
+                        accum2 = put(accum2, coeff_d * scene.background[None])
+                        return accum2.reshape(r, 3), nrays2
+
+                    branches = [deep_branch(c2) for c2 in caps2[:-1]] + [full_branch]
                     b2 = jnp.sum(cnt2 > jnp.asarray(caps2, jnp.int32) * tile)
-                    return lax.switch(b2, [deep_branch(c2) for c2 in caps2],
+                    return lax.switch(b2, branches,
                                       (ro_s, rd_s, coeff_s, t_s, fam_s, idx_s,
                                        accum_f, nrays_c))
 
