@@ -47,24 +47,46 @@ def main() -> None:
     target = jnp.zeros((height * width, 3), jnp.float32)
     params = scene_params(scene, ("tri_vertices", "tri_colors", "lights"))
 
-    fwd = jax.jit(lambda p: render_loss(p, scene, camera, cfg, target, False))
-    bwd = jax.jit(jax.value_and_grad(
-        lambda p: render_loss(p, scene, camera, cfg, target, False)))
+    import functools
 
-    jax.block_until_ready(fwd(params))
-    jax.block_until_ready(bwd(params))
+    import jax.tree_util as jtu
+    from jax import lax
 
-    t0 = time.perf_counter()
-    for _ in range(repeats):
-        out = fwd(params)
-    jax.block_until_ready(out)
-    t_fwd = (time.perf_counter() - t0) / repeats
+    def loss_of(p):
+        return render_loss(p, scene, camera, cfg, target, False)
 
-    t0 = time.perf_counter()
-    for _ in range(repeats):
-        out = bwd(params)
-    jax.block_until_ready(out)
-    t_bwd = (time.perf_counter() - t0) / repeats
+    def grad_scalar(p):
+        loss, grads = jax.value_and_grad(loss_of)(p)
+        return loss + sum(jnp.sum(g) * 1e-12 for g in jtu.tree_leaves(grads))
+
+    def timed(fn):
+        """Steady-state seconds/call: n perturbed calls inside ONE jitted
+        fori_loop (the remote-TPU tunnel adds per-dispatch latency and can
+        serve identical executions from a cache), dispatch cancelled by a
+        single-call run, min of two attempts (intermittent tunnel stalls)."""
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def loop(params, n: int):
+            def body(i, acc):
+                p = jtu.tree_map(
+                    lambda x: x + jnp.asarray(i, x.dtype) * 1e-12, params)
+                return acc + fn(p)
+            return lax.fori_loop(0, n, body, jnp.zeros(()))
+
+        jax.block_until_ready(loop(params, 1))            # compile both sizes
+        jax.block_until_ready(loop(params, repeats + 1))
+        dt1 = dt0 = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            jax.block_until_ready(loop(params, repeats + 1))
+            dt1 = min(dt1, time.perf_counter() - t0)
+        for _ in range(2):
+            t0 = time.perf_counter()
+            jax.block_until_ready(loop(params, 1))
+            dt0 = min(dt0, time.perf_counter() - t0)
+        return max(dt1 - dt0, 1e-9) / repeats
+
+    t_fwd = timed(loss_of)
+    t_bwd = timed(grad_scalar)
 
     ratio = t_bwd / t_fwd
     print(json.dumps({

@@ -280,6 +280,11 @@ class RenderConfig:
     # OR-reduce kernel epilogue and the all-occluded early exit; shadow rays
     # dominate secondary sweep work (profiled ~60% of per-level visits)
     shadow_any_mode: bool = True
+    # rematerialized backward: recompute the differentiable shading in the
+    # backward pass, saving ONLY the accel sweep results ("sweep"-tagged in
+    # ops/intersect) — the naive full-frame backward materializes ~89GB of
+    # residuals at 1080p. The sweep itself is never re-run.
+    remat: bool = True
     # re-tile compacted secondary wavefronts by a spatial Morton/octant key so
     # the accel's per-tile interval masks stay tight after a bounce.
     # Default OFF: on TPU the sort+permute apparatus measured ~+37ms/frame at

@@ -228,6 +228,14 @@ def closest_query(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
     t_fwd, fam, idx = _family_min(cands)
     valid = fam != FAM_NONE
     idx = jnp.where(valid, idx, 0)  # safe gather index
+    # residual-cache tag: under the render's rematerialized backward
+    # (render/pipeline, policy save_only_these_names("sweep")) the selection
+    # is SAVED from the forward — the backward replays only the differentiable
+    # attribute recompute, never the accel sweep itself
+    from jax.ad_checkpoint import checkpoint_name
+    t_fwd = checkpoint_name(t_fwd, "sweep")
+    fam = checkpoint_name(fam, "sweep")
+    idx = checkpoint_name(idx, "sweep")
     return t_fwd, fam, idx
 
 
@@ -409,4 +417,5 @@ def any_hit(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
                           lax.stop_gradient(scene.cyl_up), lax.stop_gradient(scene.cyl_radius),
                           cfg.smallest_dist)
         occ |= jnp.any(t < BIG, axis=1)
-    return occ
+    from jax.ad_checkpoint import checkpoint_name
+    return checkpoint_name(occ, "sweep")

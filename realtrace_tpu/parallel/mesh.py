@@ -65,6 +65,7 @@ def _local_buffer(scene: Scene, camera: Camera, cfg: RenderConfig,
     i0 = (ix * tile_w).astype(scene.dtype)
     rd = camera.ray_directions_tile(i0, j0, tile_w, tile_h)
     ro = jnp.broadcast_to(camera.position, rd.shape)
+
     buf = trace_wavefront(scene, ro, rd, cfg, branching=branching)
     return buf.reshape(tile_h, tile_w, 3)
 

@@ -134,12 +134,36 @@ def _feat0(scene: Scene, camera: Camera, cfg: RenderConfig):
     return None
 
 
+def _traced(scene: Scene, ro, rd, coeff, feat0, cfg: RenderConfig,
+            branching, with_stats: bool = False):
+    """trace_wavefront behind an optional rematerialized-backward wrapper.
+
+    A full 1080p frame's naive backward saves every intermediate (measured
+    89 GB of residuals — 5x over HBM). ``cfg.remat`` recomputes the cheap XLA
+    shading in the backward instead, SAVING only the accel sweep results (the
+    values tagged "sweep" in ops/intersect): the backward replays the
+    differentiable attribute/shading math but never re-runs a Pallas sweep —
+    the residual-caching design the forward/backward split was built for.
+    No effect on forward-only renders.
+    """
+    if branching is None:
+        # resolve pre-wrap: checkpoint traces its operand function, and
+        # has_dielectrics inspects concrete values
+        branching = scene.has_dielectrics()
+
+    # (the remat itself is applied PER BOUNCE-LEVEL inside trace_wavefront —
+    # a whole-frame checkpoint region measured WORSE: XLA's
+    # recompute-in-backward of the full frame ballooned to 330GB of temps)
+    return trace_wavefront(scene, ro, rd, cfg, branching=branching,
+                           coeff=coeff, with_stats=with_stats, feat0=feat0)
+
+
 def render_buffer(scene: Scene, camera: Camera, cfg: RenderConfig,
                   branching: bool | None = None) -> Array:
     """Render to a flat (H*W, 3) linear color buffer (unclamped)."""
     ro, rd, coeff, _ = _tiled_rays(camera)
-    buf = trace_wavefront(scene, ro, rd, cfg, branching=branching, coeff=coeff,
-                          feat0=_feat0(scene, camera, cfg))
+    buf = _traced(scene, ro, rd, coeff, _feat0(scene, camera, cfg), cfg,
+                  branching)
     return _untile(buf, camera)
 
 
@@ -160,9 +184,8 @@ def render_with_stats(scene: Scene, camera: Camera, cfg: RenderConfig,
     Parellel/main.cu:79-85).
     """
     ro, rd, coeff, _ = _tiled_rays(camera)
-    accum, nrays = trace_wavefront(scene, ro, rd, cfg, branching=branching,
-                                   coeff=coeff, with_stats=True,
-                                   feat0=_feat0(scene, camera, cfg))
+    accum, nrays = _traced(scene, ro, rd, coeff, _feat0(scene, camera, cfg),
+                           cfg, branching, with_stats=True)
     img = jnp.clip(image_from_buffer(_untile(accum, camera), camera), 0.0, 1.0)
     return img, nrays
 

@@ -310,6 +310,25 @@ def _merged_query(scene: Scene, hit: Hit, valid: Array, children, cfg: RenderCon
     return occ, out
 
 
+
+def _level_ckpt(cfg: RenderConfig):
+    """Per-bounce-level rematerialization wrapper for scan bodies.
+
+    The naive backward of a 1080p frame saves every shading intermediate of
+    every level (measured 89GB of residuals — 5x HBM); wrapping each level in
+    jax.checkpoint with the save_only_these_names("sweep") policy keeps ONLY
+    the accel query results (tagged in ops/intersect) and the scan carries,
+    recomputing the cheap differentiable shading in the backward. The Pallas
+    sweep itself is never re-run — its outputs ARE the named residuals.
+    (A single whole-frame checkpoint region is strictly worse: XLA's
+    recompute-in-backward ballooned to 330GB of loop temps.)
+    """
+    if not cfg.remat:
+        return lambda f: f
+    policy = jax.checkpoint_policies.save_only_these_names("sweep")
+    return lambda f: jax.checkpoint(f, policy=policy)
+
+
 def _compact_children(child_r, child_t, pix: Array):
     """Fold a level's (reflect ‖ refract) children — 2K candidate lanes —
     back into K lanes by liveness compaction.
@@ -403,7 +422,7 @@ def _branch_levels(scene: Scene, cfg: RenderConfig, pack, carry, count_rays):
 
     if cfg.max_depth > 0:
         xs = jnp.arange(cfg.max_depth) == cfg.max_depth - 1
-        carry, _ = lax.scan(step, carry, xs)
+        carry, _ = lax.scan(_level_ckpt(cfg)(step), carry, xs)
     _, _, coeff_f, pix_f, _, _, _, accum, nrays = carry
     # depth-exceeded live children → background (Serial/world.cpp:37-39 analog)
     accum = accum.at[pix_f].add(coeff_f * scene.background[None], mode="drop")
@@ -459,7 +478,8 @@ def trace_wavefront(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
                     return (ro_r, rd_r, coeff_r, accum + contrib, nrays), None
 
                 init = (ro, rd, coeff, jnp.zeros_like(ro), jnp.zeros((), jnp.float32))
-                (ro_f, rd_f, coeff_f, accum, nrays), _ = lax.scan(step, init, None, length=cfg.max_depth + 1)
+                (ro_f, rd_f, coeff_f, accum, nrays), _ = lax.scan(
+                    _level_ckpt(cfg)(step), init, None, length=cfg.max_depth + 1)
                 accum = accum + coeff_f * scene.background[None]   # depth-exceeded → background
                 return (accum, nrays) if with_stats else accum
 
@@ -491,7 +511,8 @@ def trace_wavefront(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
             init = (ro, rd, coeff, t0, fam0, idx0,
                     jnp.zeros_like(ro), jnp.zeros((), jnp.float32))
             xs = jnp.arange(cfg.max_depth + 1) == cfg.max_depth
-            (ro_f, rd_f, coeff_f, *_q, accum, nrays), _ = lax.scan(step, init, xs)
+            (ro_f, rd_f, coeff_f, *_q, accum, nrays), _ = lax.scan(
+                _level_ckpt(cfg)(step), init, xs)
             accum = accum + coeff_f * scene.background[None]   # depth-exceeded → background
             return (accum, nrays) if with_stats else accum
 
@@ -686,7 +707,8 @@ def trace_wavefront(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
                             carry2 = (ro2, rd2, coeff2, t2, fam2, idx2,
                                       accum_f, nrays_c)
                             xs2 = jnp.arange(cfg.max_depth - 1) == cfg.max_depth - 2
-                            carry2, _ = lax.scan(step_pix, carry2, xs2)
+                            carry2, _ = lax.scan(_level_ckpt(cfg)(step_pix),
+                                                 carry2, xs2)
                             coeff_d2, accum2, nrays2 = carry2[2], carry2[6], carry2[7]
                             accum2 = accum2.at[pix].add(
                                 coeff_d2 * scene.background[None], mode="drop")
@@ -702,7 +724,7 @@ def trace_wavefront(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
                         carry = (ro_s, rd_s, coeff_s, t_s, fam_s, idx_s,
                                  accum_f.reshape(nt, tile, 3), nrays_c)
                         xs2 = jnp.arange(cfg.max_depth - 1) == cfg.max_depth - 2
-                        carry, _ = lax.scan(step_merged, carry, xs2)
+                        carry, _ = lax.scan(_level_ckpt(cfg)(step_merged), carry, xs2)
                         coeff_d, accum2, nrays2 = carry[2], carry[6], carry[7]
                         accum2 = put(accum2, coeff_d * scene.background[None])
                         return accum2.reshape(r, 3), nrays2
@@ -720,14 +742,15 @@ def trace_wavefront(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
                     if cfg.max_depth > 0:
                         n_a = 1 if deep else cfg.max_depth    # levels at cap width
                         xs = jnp.arange(n_a) == cfg.max_depth - 1
-                        carry, _ = lax.scan(step_merged, carry, xs)
+                        carry, _ = lax.scan(_level_ckpt(cfg)(step_merged), carry, xs)
                     if deep:
                         return deep_phase(carry)
                     coeff_d, accum, nrays_d = carry[2], carry[6], carry[7]
                 else:
                     carry = (ro_r, rd_r, coeff_r, accum, jnp.zeros((), jnp.float32))
                     if cfg.max_depth > 0:
-                        carry, _ = lax.scan(step, carry, None, length=cfg.max_depth)
+                        carry, _ = lax.scan(_level_ckpt(cfg)(step), carry, None,
+                                            length=cfg.max_depth)
                     coeff_d, accum, nrays_d = carry[2], carry[3], carry[4]
                 # depth-exceeded → background
                 accum = put(accum, coeff_d * scene.background[None])
@@ -735,7 +758,10 @@ def trace_wavefront(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
             return br
 
         b = jnp.sum(cnt > caps_arr)
-        accum, nrays_d = lax.switch(b, [branch(c) for c in caps],
+        # the whole compacted level-0 region (attrs + merged query + shading)
+        # is also checkpointed: its saved residuals otherwise dominate the
+        # backward's memory at full-bucket widths
+        accum, nrays_d = lax.switch(b, [_level_ckpt(cfg)(branch(c)) for c in caps],
                                     (t0, fam0, idx0, coeff))
         return (accum, nrays0 + nrays_d) if with_stats else accum
 
@@ -803,6 +829,6 @@ def trace_wavefront(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
         return br
 
     b = jnp.sum(cnt > caps_arr)
-    accum, nrays_d = lax.switch(b, [branch(c) for c in caps],
+    accum, nrays_d = lax.switch(b, [_level_ckpt(cfg)(branch(c)) for c in caps],
                                 (t0, fam0, idx0, coeff, accum0))
     return (accum, nrays0 + nrays_d) if with_stats else accum
