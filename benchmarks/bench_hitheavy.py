@@ -17,7 +17,8 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 os.environ.setdefault("RT_BENCH_HITHEAVY", "1")
-os.environ.setdefault("RT_BENCH_REPEATS", "4")
+# (no RT_BENCH_REPEATS override: the headline leg keeps its full repeat
+# count; bench.py already shortens only the hit-heavy leg)
 
 import bench
 

@@ -255,7 +255,10 @@ class RenderConfig:
     # slightly longer chunk lists. 4*chunk_size must be a multiple of 128 for
     # the VMEM-resident layout (so 32 is the floor).
     chunk_size: int = 32
-    shortlist: int = 48                    # chunks tested per ray block (XLA chunked path)
+    # chunks tested per ray block (XLA chunked path). Scaled with the
+    # chunk_size default (64->32) so shortlist*chunk_size coverage of the
+    # APPROXIMATE chunked mode is unchanged.
+    shortlist: int = 96
     ray_block: int = 2048                  # rays per lax.map block in XLA paths
     matmul_precision: str = "highest"      # pallas triangle-test MXU precision
     # wavefronts at or below this many rays use the EXACT per-ray chunk mask
