@@ -220,6 +220,7 @@ class Viewer:
         from realtrace_tpu.io.image import save_png
         if self.last_img is None:
             self.render()
+        os.makedirs(self.save_dir, exist_ok=True)
         name = time.strftime("%Y%m%d%H%M%S") + ".png"
         path = os.path.join(self.save_dir, name)
         save_png(path, self.last_img)

@@ -297,3 +297,8 @@ class RenderConfig:
     # Default OFF: on TPU the sort+permute apparatus measured ~+37ms/frame at
     # 1080p — more than the sweep time it saves (see docs/KERNEL.md).
     reorder_secondary: bool = False
+    # sort ONLY the child-ray QUERY by the coherence key inside the merged
+    # per-level queries (results un-sorted right after): live bounce tiles
+    # otherwise see ~50 chunks (union of 1024 divergent reflections) vs ~5
+    # re-tiled; unlike reorder_secondary, the wavefront carry never moves
+    reorder_children: bool = True

@@ -137,10 +137,11 @@ def test_viewer_mouse_drag_orbits(tmp_path):
 
 
 def test_viewer_save_writes_png_and_status_has_fps(tmp_path):
-    v = _tiny_viewer(tmp_path)
+    # save into a NOT-YET-EXISTING directory (regression: save() must mkdir)
+    v = _tiny_viewer(tmp_path / "shots")
     v.render()
     assert v.handle_input("s")
-    pngs = list(tmp_path.glob("*.png"))
+    pngs = list((tmp_path / "shots").glob("*.png"))
     assert len(pngs) == 1
     img = load_png(pngs[0])
     assert img.shape == (16, 32, 3)
