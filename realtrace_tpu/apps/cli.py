@@ -30,7 +30,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-faces", type=int, default=None,
                    help="triangle cap (serial app used 2000)")
     p.add_argument("--depth", type=int, default=3, help="max bounce depth")
-    p.add_argument("--accel", choices=["bruteforce", "chunked", "pallas"], default="chunked")
+    p.add_argument("--accel", choices=["bruteforce", "chunked", "pallas"], default=None,
+                   help="default: the EXACT mode for the backend (pallas on "
+                        "TPU, bruteforce on CPU); 'chunked' is approximate")
     p.add_argument("--no-shadows", action="store_true")
     p.add_argument("--fixed-diffuse", action="store_true",
                    help="use surface->light diffuse direction instead of the reference quirk")
@@ -58,9 +60,11 @@ def main(argv=None) -> int:
     from realtrace_tpu.utils.profiling import FrameTimer, block
 
     dtype = jnp.float64 if args.f64 else jnp.float32
-    cfg = RenderConfig(max_depth=args.depth, accel=args.accel,
+    accel_mode = args.accel or accel.default_exact_accel()
+    cfg = RenderConfig(max_depth=args.depth, accel=accel_mode,
                        shadows=not args.no_shadows,
                        legacy_diffuse=not args.fixed_diffuse)
+    accel.warn_if_approximate(cfg)
 
     if args.scene == "sphere_plane":
         scene, cam = scenes.sphere_plane_scene(dtype=dtype)
@@ -74,7 +78,7 @@ def main(argv=None) -> int:
         scene, cam = scenes.serial_obj_scene(args.obj, texture_path=args.texture,
                                              dtype=dtype, scale=args.scale or 15.0,
                                              max_faces=args.max_faces)
-    if args.accel != "bruteforce" and scene.n_triangles:
+    if accel_mode != "bruteforce" and scene.n_triangles:
         scene = accel.with_chunks(scene, cfg)
     camera = scenes.make_camera(cam, args.width, args.height, dtype=dtype)
     print(f"[INFO] scene: {scene.n_triangles} tris, {scene.n_spheres} spheres, "

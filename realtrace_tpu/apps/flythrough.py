@@ -18,8 +18,15 @@ import jax
 
 def run_flythrough(scene, interactive_cam, cfg, frames: int = 24,
                    yaw_step: float = 0.26, pitch_amp: float = 0.2,
-                   out_dir: str | None = None, dtype=None):
-    """Render an orbit sweep; returns (images, mean_fps)."""
+                   out_dir: str | None = None, dtype=None, mesh=None):
+    """Render an orbit sweep; returns (images, mean_fps).
+
+    ``mesh``: a jax.sharding.Mesh — the animated camera then drives
+    ``parallel.mesh.sharded_render`` (pixel tiles sharded over the mesh,
+    BASELINE config 5: interactive-camera flythrough over a device mesh).
+    The camera stays a traced argument, so the whole sharded sweep reuses
+    ONE compilation.
+    """
     import math
 
     import jax.numpy as jnp
@@ -29,7 +36,16 @@ def run_flythrough(scene, interactive_cam, cfg, frames: int = 24,
     from realtrace_tpu.utils.profiling import FrameTimer, block, frame_bracket
 
     dtype = dtype or jnp.float32
-    frame_fn = jax.jit(lambda s, c: render_with_stats(s, c, cfg, branching=False))
+    if mesh is not None:
+        from realtrace_tpu.parallel import mesh as pmesh
+        scene = pmesh.replicate_scene(scene, mesh)
+        # sharded path: ray count = pixels (primary) is reported by the
+        # caller's FPS line; per-bounce counts stay device-side
+        frame_fn = jax.jit(lambda s, c: (
+            pmesh.sharded_render(s, c, cfg, mesh, branching=False),
+            jnp.zeros(())))
+    else:
+        frame_fn = jax.jit(lambda s, c: render_with_stats(s, c, cfg, branching=False))
 
     images = []
     timer = FrameTimer(window=1e9)
@@ -63,7 +79,11 @@ def main(argv=None) -> int:
     p.add_argument("--frames", type=int, default=24)
     p.add_argument("--radius", type=float, default=120.0)
     p.add_argument("--depth", type=int, default=2)
-    p.add_argument("--accel", default="chunked")
+    p.add_argument("--accel", default=None,
+                   help="default: the exact mode for the backend")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="shard pixel tiles over an N-device mesh "
+                        "(BASELINE config 5; 0 = single device)")
     p.add_argument("--out-dir", default=None)
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
@@ -77,16 +97,25 @@ def main(argv=None) -> int:
     from realtrace_tpu.ops import accel
     from realtrace_tpu.render.camera import InteractiveCamera
 
-    cfg = RenderConfig(max_depth=args.depth, accel=args.accel)
+    accel_mode = args.accel or accel.default_exact_accel()
+    cfg = RenderConfig(max_depth=args.depth, accel=accel_mode)
+    accel.warn_if_approximate(cfg)
     scene, _ = scenes.serial_obj_scene(args.obj, dtype=jnp.float32)
-    if args.accel != "bruteforce":
+    if accel_mode != "bruteforce":
         scene = accel.with_chunks(scene, cfg)
     cam = InteractiveCamera(radius=args.radius,
                             resolution=(args.width, args.height))
     if args.out_dir:
         Path(args.out_dir).mkdir(parents=True, exist_ok=True)
-    _, fps = run_flythrough(scene, cam, cfg, frames=args.frames, out_dir=args.out_dir)
-    print(f"[INFO] flythrough: {args.frames} frames @ {fps:.2f} fps", file=sys.stderr)
+    mesh = None
+    if args.mesh:
+        from realtrace_tpu.parallel import mesh as pmesh
+        mesh = pmesh.make_mesh(args.mesh)
+    _, fps = run_flythrough(scene, cam, cfg, frames=args.frames,
+                            out_dir=args.out_dir, mesh=mesh)
+    tag = f" (sharded over {args.mesh} devices)" if mesh is not None else ""
+    print(f"[INFO] flythrough: {args.frames} frames @ {fps:.2f} fps{tag}",
+          file=sys.stderr)
     return 0
 
 

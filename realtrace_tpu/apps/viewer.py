@@ -177,6 +177,7 @@ class Viewer:
         self.out = out if out is not None else sys.stdout
         self.save_dir = save_dir
         self.drag_state: dict = {}
+        self._inbuf = ""   # carry-over for escape sequences split across reads
         self.fps = 0.0
         self.mrays = 0.0
         self.frames = 0
@@ -226,9 +227,21 @@ class Viewer:
         save_png(path, self.last_img)
         return path
 
-    def handle_input(self, data: str) -> bool:
-        """Apply a chunk of raw input; returns False when the app should quit."""
-        events, _ = parse_events(data)
+    def handle_input(self, data: str, flush: bool = False) -> bool:
+        """Apply a chunk of raw input; returns False when the app should quit.
+
+        Unconsumed bytes (an escape sequence split across os.read chunks, or
+        the one-char-at-a-time scripted feed) carry over to the next call via
+        ``self._inbuf``. ``flush=True`` (input went idle) force-consumes a
+        pending lone ESC as the quit key instead of waiting forever for a
+        continuation that will never come."""
+        buf = self._inbuf + data
+        events, rest = parse_events(buf)
+        if flush and rest:
+            # idle with an incomplete prefix: deliver its first byte as-is
+            events.append(("key", rest[0]))
+            rest = rest[1:]
+        self._inbuf = rest
         dirty = False
         for ev in events:
             action = apply_event(self.orbit, ev, self.drag_state)
@@ -260,6 +273,8 @@ class Viewer:
             while max_frames is None or self.frames < max_frames:
                 r, _, _ = select.select([fd], [], [], 0.05)
                 if not r:
+                    if self._inbuf and not self.handle_input("", flush=True):
+                        break             # lone ESC resolved by the idle gap
                     continue
                 data = os.read(fd, 4096).decode(errors="ignore")
                 if not self.handle_input(data):
@@ -276,7 +291,9 @@ class Viewer:
         self.render()
         for ch in keys:
             if not self.handle_input(ch):
-                break
+                return
+        if self._inbuf:
+            self.handle_input("", flush=True)   # trailing lone ESC = quit
 
 
 def _build(scene_name: str, cfg: RenderConfig, width: int, height: int):

@@ -31,6 +31,26 @@ from realtrace_tpu.core.types import RenderConfig, Scene
 from realtrace_tpu.ops.intersect import BIG, triangle_test
 
 
+def default_exact_accel() -> str:
+    """The EXACT accel mode for the current backend: the Pallas sweep on TPU,
+    brute force elsewhere (the Pallas kernel runs interpreted — slowly — off
+    TPU). User-facing apps default to this; the approximate "chunked"
+    shortlist mode is opt-in only."""
+    return "pallas" if jax.default_backend() == "tpu" else "bruteforce"
+
+
+def warn_if_approximate(cfg: RenderConfig) -> None:
+    """Loud runtime warning when the APPROXIMATE shortlist mode is selected:
+    a hit in a chunk that misses the top-k shortlist is silently dropped
+    (see RenderConfig.accel). Exact modes: bruteforce, pallas."""
+    if cfg.accel == "chunked":
+        import sys
+        print("[WARNING] accel='chunked' is APPROXIMATE: rays test only the "
+              f"top-{cfg.shortlist} most-voted chunks per block, so hits can "
+              "be silently dropped. Use accel='pallas' (TPU) or "
+              "'bruteforce' for exact results.", file=sys.stderr, flush=True)
+
+
 # ---------------------------------------------------------------------------
 # build
 # ---------------------------------------------------------------------------

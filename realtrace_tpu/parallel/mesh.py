@@ -142,6 +142,10 @@ def make_sharded_train_step(scene: Scene, camera: Camera, cfg: RenderConfig,
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
+    # direct (params) -> (loss, grads) export so equivalence tests can read
+    # the psum'd gradients without reverse-engineering them from an sgd step
+    step.loss_and_grad = jax.jit(
+        lambda params: loss_and_grad(params, target_buf, scene, camera))
     return step, params0, opt_state0
 
 

@@ -128,6 +128,20 @@ def test_viewer_orbit_keys_change_camera_and_rerender(tmp_path):
     assert not v.handle_input("q")              # quit
 
 
+def test_viewer_split_escape_sequences_carry_over(tmp_path):
+    # escape sequences split across os.read chunks (or the one-char-at-a-time
+    # scripted feed) must buffer, not drop (round-2 ADVICE finding)
+    v = _tiny_viewer(tmp_path)
+    v.render()
+    yaw0 = v.orbit.yaw
+    for ch in "\x1b[C":                          # right arrow, one byte per call
+        assert v.handle_input(ch)
+    assert v.orbit.yaw != yaw0
+    # a lone ESC resolves to quit once the input goes idle (flush)
+    assert v.handle_input("\x1b")
+    assert not v.handle_input("", flush=True)
+
+
 def test_viewer_mouse_drag_orbits(tmp_path):
     v = _tiny_viewer(tmp_path)
     v.render()

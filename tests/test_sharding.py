@@ -71,22 +71,34 @@ def test_sharded_grads_equal_single_device_grads(mesh8):
     g_single = jax.grad(render_loss)(params, scene, camera, CFG,
                                      target, False)
 
-    # sharded grad via the train-step internals (sum-of-squares/denominator
-    # matches mean over the flat buffer)
+    # sharded grad via the train step's direct loss_and_grad export
+    # (sum-of-squares/denominator matches mean over the flat buffer)
     step, p0, o0 = pmesh.make_sharded_train_step(
         scene, camera, CFG, target.reshape(16, 16, 3)[::-1], mesh8,
         fields=("sph_color", "lights"))
-    # re-derive grads by calling the loss_and_grad closure through one step:
-    # compare updated params direction by applying a tiny-lr sgd
-    import optax
-    step2, p02, o02 = pmesh.make_sharded_train_step(
-        scene, camera, CFG, target.reshape(16, 16, 3)[::-1], mesh8,
-        optimizer=optax.sgd(1.0), fields=("sph_color", "lights"))
-    p_new, _, _ = step2(p02, o02)
-    g_sharded = jax.tree_util.tree_map(lambda a, b: np.asarray(a) - np.asarray(b), p02, p_new)
+    _, g_sharded = step.loss_and_grad(p0)
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-10),
         g_single, g_sharded)
+
+
+def test_sharded_flythrough_matches_single_device(mesh8):
+    # BASELINE config 5: animated interactive-camera sweep driving the
+    # SHARDED render path (pixel tiles over the mesh) — every frame must
+    # match the single-device flythrough bit-for-bit
+    from realtrace_tpu.apps.flythrough import run_flythrough
+    from realtrace_tpu.render.camera import InteractiveCamera
+
+    scene, _ = scenes.sphere_plane_scene(dtype=DT)
+
+    def cam():
+        return InteractiveCamera(radius=85.0, pitch=0.6, resolution=(32, 16))
+
+    imgs_s, _ = run_flythrough(scene, cam(), CFG, frames=3, mesh=mesh8, dtype=DT)
+    imgs_1, _ = run_flythrough(scene, cam(), CFG, frames=3, dtype=DT)
+    assert len(imgs_s) == 3
+    for a, b in zip(imgs_s, imgs_1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
 
 
 def test_replicate_scene(mesh8):
