@@ -1,30 +1,216 @@
-"""Benchmark: forward Mrays/s per chip at 1080p on bob_tri.obj.
+"""Benchmark: every headline metric, driver-captured as JSON lines.
 
-Prints JSON lines {"metric", "value", "unit", "vs_baseline"} — the
-replacement for the reference's FPS title-bar counter
+Prints one JSON line {"metric", "value", "unit", "vs_baseline"} per metric —
+the replacement for the reference's FPS title-bar counter
 (Parellel/main.cu:79-85). Baseline target: 50 Mrays/s/chip (BASELINE.json
 north star). Rays counted = every traced ray: primary + shadow + secondary
 wavefront rays, as accumulated by the wavefront scan itself.
 
-The headline config is the reference framing (camera (60,60,0), 1080p).
-RT_BENCH_HITHEAVY=1 additionally runs a HIT-HEAVY close framing (camera
-(0,6,14): ~60% of pixels hit bob, so the number can't lean on cheap
-background lanes) BEFORE the headline — kept opt-in (see
-benchmarks/bench_hitheavy.py) because its ~10x slower frames raise the odds
-of a remote-tunnel stall starving the headline metric.
+Default output (in order; the HEADLINE stays the LAST line for the driver):
+  1. hit-heavy forward Mrays/s (camera (0,6,14): ~60% of pixels hit bob, so
+     the number can't lean on cheap background lanes)
+  2. backward/forward time ratio at the flagship config
+  3. streaming/resident frame-time ratio on bob x2 (HBM-streaming kernel
+     overhead vs the VMEM-resident table, same scene)
+  4. HEADLINE: forward Mrays/s, 1080p bob_tri.obj depth-3, reference framing
+
+Measurement discipline (CLAUDE.md): the remote-TPU tunnel adds 10-20 ms per
+dispatch, serves IDENTICAL executions from a cache, and intermittently stalls
+for seconds-to-minutes. Every timing therefore runs N camera/param-jittered
+iterations inside ONE jitted fori_loop with a fresh offset arg per call,
+fenced by scalar float() reads, minus a 1-iteration call to cancel dispatch —
+and every wall-clock is the MIN over >= `RT_BENCH_MIN_ATTEMPTS` attempts,
+retried until the best two agree within 15% (a single stalled attempt can
+never poison the result). All attempt spreads are logged to stderr.
 
 Env knobs: RT_BENCH_WIDTH/HEIGHT/DEPTH/REPEATS, RT_BENCH_ACCEL
-(chunked|bruteforce|pallas), RT_BENCH_SMOKE=1 for a tiny CPU smoke run.
+(chunked|bruteforce|pallas), RT_BENCH_CHUNK, RT_BENCH_SMOKE=1 for a tiny CPU
+smoke run (headline only), RT_BENCH_HITHEAVY/GRAD/STREAM=0 to skip a
+secondary metric, RT_BENCH_MIN_ATTEMPTS / RT_BENCH_MAX_ATTEMPTS.
 """
 from __future__ import annotations
 
 import functools
 import json
 import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+BASELINE_MRAYS = 50.0
+MIN_ATTEMPTS = int(os.environ.get("RT_BENCH_MIN_ATTEMPTS", 4))
+MAX_ATTEMPTS = int(os.environ.get("RT_BENCH_MAX_ATTEMPTS", 8))
+AGREE_TOL = 0.15
+
+
+def _log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def attempts_min(call, tag: str, min_attempts: int = MIN_ATTEMPTS,
+                 max_attempts: int = MAX_ATTEMPTS, tol: float = AGREE_TOL):
+    """Min wall-clock over repeated fenced calls, with stall armor.
+
+    Runs >= min_attempts; keeps attempting (up to max_attempts) until the two
+    BEST attempts agree within `tol` — so the reported min was reproduced, not
+    a fluke, and a multi-second tunnel stall in any attempt is discarded.
+    Logs every attempt so a stall is visible in the captured stderr tail.
+    """
+    dts = []
+    while True:
+        t0 = time.perf_counter()
+        call()
+        dts.append(time.perf_counter() - t0)
+        s = sorted(dts)
+        settled = len(dts) >= min_attempts and s[1] <= s[0] * (1.0 + tol)
+        if settled or len(dts) >= max_attempts:
+            if not settled:
+                _log(f"[bench:{tag}] WARNING: best two attempts disagree by "
+                     f">{tol:.0%} after {len(dts)} tries — tunnel unstable")
+            _log(f"[bench:{tag}] attempts (s): "
+                 + ", ".join(f"{d:.3f}" for d in dts)
+                 + f" -> min {s[0]:.3f}")
+            return s[0]
+
+
+class FrameBench:
+    """The jittered-fori-loop frame timer for one (scene, cfg) pair.
+
+    The loop re-renders with a sub-micron camera jitter per iteration AND a
+    fresh `off` argument per call, so no two executions are identical (the
+    tunnel cache) and per-frame host dispatch cost is amortized; `go()`
+    fences with scalar float() reads (block_until_ready has been observed to
+    return early through the tunnel).
+    """
+
+    def __init__(self, scene, cfg, branching: bool = False):
+        from realtrace_tpu.render.pipeline import render_with_stats
+        from jax import lax
+
+        self.scene = scene
+        self._seq = iter(range(1, 100000))
+
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def frames(scene, camera, off, n: int):
+            def body(i, carry):
+                acc, nr = carry
+                cam_i = camera.replace(
+                    position=camera.position
+                    + (off + i.astype(camera.position.dtype)) * 1e-6)
+                img, nrays = render_with_stats(scene, cam_i, cfg,
+                                               branching=branching)
+                return acc + jnp.mean(img), nr + nrays
+            return lax.fori_loop(0, n, body, (jnp.zeros(()), jnp.zeros(())))
+
+        self._frames = frames
+
+    def go(self, camera, n: int):
+        acc, nr = self._frames(self.scene, camera,
+                               jnp.float32(next(self._seq) * 100.0), n)
+        return float(acc), float(nr)
+
+    def measure(self, camera, tag: str, reps: int):
+        """Steady-state (seconds/frame, rays/frame, checksum)."""
+        t0 = time.perf_counter()
+        self.go(camera, 1)
+        _log(f"[bench:{tag}] compile+first frame: {time.perf_counter() - t0:.1f}s")
+        t0 = time.perf_counter()
+        acc, nr = self.go(camera, reps + 1)
+        _log(f"[bench:{tag}] compile timed size: {time.perf_counter() - t0:.1f}s")
+        dt1 = attempts_min(lambda: self.go(camera, reps + 1), f"{tag}:loop")
+        dt0 = attempts_min(lambda: self.go(camera, 1), f"{tag}:single",
+                           min_attempts=2, max_attempts=6)
+        dt = max((dt1 - dt0) / reps, 1e-9)
+        nrays = nr / (reps + 1)
+        _log(f"[bench:{tag}] steady frame: {dt*1e3:.1f} ms, "
+             f"rays/frame: {nrays/1e6:.2f}M, checksum {acc:.5f}")
+        return dt, nrays, acc
+
+
+def emit(metric: str, value: float, unit: str, vs_baseline=None, **extra):
+    rec = {"metric": metric, "value": round(value, 3), "unit": unit,
+           "vs_baseline": (round(vs_baseline, 4)
+                           if vs_baseline is not None else None)}
+    rec.update(extra)
+    print(json.dumps(rec), flush=True)
+
+
+def bench_grad_ratio(scene, camera, cfg, t_fwd: float, reps: int) -> None:
+    """backward/forward time ratio at the FLAGSHIP config (BASELINE metric 2).
+
+    `backward` = value_and_grad of the pixel loss wrt (vertices, colors,
+    lights) — the residual-caching rematerialized backward (cfg.remat);
+    `forward` = the headline's measured frame time (same program the grad's
+    forward pass runs). Same fori-loop + attempts protocol.
+    """
+    import jax.tree_util as jtu
+    from jax import lax
+    from realtrace_tpu.diff.inverse import render_loss, scene_params
+
+    h, w = camera.height, camera.width
+    target = jnp.zeros((h * w, 3), jnp.float32)
+    params = scene_params(scene, ("tri_vertices", "tri_colors", "lights"))
+
+    def grad_scalar(p):
+        loss, grads = jax.value_and_grad(
+            lambda q: render_loss(q, scene, camera, cfg, target, False))(p)
+        return loss + sum(jnp.sum(g) * 1e-12 for g in jtu.tree_leaves(grads))
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def loop(params, off, n: int):
+        def body(i, acc):
+            p = jtu.tree_map(
+                lambda x: x + (off + jnp.asarray(i, x.dtype)) * 1e-12, params)
+            return acc + grad_scalar(p)
+        return lax.fori_loop(0, n, body, jnp.zeros(()))
+
+    seq = iter(range(1, 100000))
+
+    def go(n):
+        return float(loop(params, jnp.float32(next(seq)), n))
+
+    t0 = time.perf_counter()
+    go(1)
+    _log(f"[bench:grad] compile+first: {time.perf_counter() - t0:.1f}s")
+    go(reps + 1)
+    dt1 = attempts_min(lambda: go(reps + 1), "grad:loop")
+    dt0 = attempts_min(lambda: go(1), "grad:single",
+                       min_attempts=2, max_attempts=6)
+    t_bwd = max(dt1 - dt0, 1e-9) / reps
+    _log(f"[bench:grad] fwd {t_fwd*1e3:.1f} ms, value_and_grad {t_bwd*1e3:.1f} ms")
+    emit(f"backward/forward time ratio {camera.width}x{camera.height} "
+         f"bob depth-{cfg.max_depth} ({cfg.accel})",
+         t_bwd / t_fwd, "x", None,
+         forward_ms=round(t_fwd * 1e3, 2), backward_ms=round(t_bwd * 1e3, 2))
+
+
+def bench_stream_ratio(width: int, height: int, reps: int) -> None:
+    """streaming/resident frame-time ratio on bob x2 (21k tris, table under
+    the VMEM limit so BOTH variants run on the same scene; target <= 1.5)."""
+    from realtrace_tpu.apps import scenes
+    from realtrace_tpu.core.types import RenderConfig
+    from realtrace_tpu.ops import accel
+    from realtrace_tpu.ops.pallas import trace as ptrace
+
+    cfg = RenderConfig(max_depth=2, accel="pallas", chunk_size=64)
+    scene, cam = scenes.duplicated_serial_scene(
+        2, texture_path="/root/reference/Serial/bob_diffuse.png")
+    scene = accel.with_chunks(scene, cfg)
+    camera = scenes.make_camera(cam, width, height, dtype=jnp.float32)
+
+    dt_res, nrays, _ = FrameBench(scene, cfg).measure(camera, "stream:resident", reps)
+    saved = ptrace.RESIDENT_LIMIT
+    ptrace.RESIDENT_LIMIT = 0            # force the HBM-streaming kernel
+    try:
+        dt_str, _, _ = FrameBench(scene, cfg).measure(camera, "stream:forced", reps)
+    finally:
+        ptrace.RESIDENT_LIMIT = saved
+    emit("streaming/resident frame-time ratio bob_x2 21k tris "
+         f"{width}x{height} depth-2", dt_str / dt_res, "x (target <= 1.5)",
+         None, resident_mrays=round(nrays / dt_res / 1e6, 2),
+         streaming_mrays=round(nrays / dt_str / 1e6, 2))
 
 
 def main() -> None:
@@ -35,16 +221,18 @@ def main() -> None:
     height = int(os.environ.get("RT_BENCH_HEIGHT", 48 if smoke else 1080))
     depth = int(os.environ.get("RT_BENCH_DEPTH", 3))
     repeats = int(os.environ.get("RT_BENCH_REPEATS", 1 if smoke else 10))
+    # RT_BENCH_ALL=1: run the secondary metrics even in smoke mode (CI
+    # coverage of the grad/stream bench paths on CPU)
+    skip_secondary = smoke and os.environ.get("RT_BENCH_ALL") != "1"
     accel_mode = os.environ.get("RT_BENCH_ACCEL", "pallas")
 
     from realtrace_tpu.apps import scenes
     from realtrace_tpu.core.types import RenderConfig
     from realtrace_tpu.ops import accel
-    from realtrace_tpu.render.pipeline import render_with_stats
 
     cfg = RenderConfig(max_depth=depth, accel=accel_mode,
                        chunk_size=int(os.environ.get("RT_BENCH_CHUNK", 32)),
-                       shortlist=48, ray_block=int(os.environ.get("RT_BENCH_BLOCK", 8192)),
+                       ray_block=int(os.environ.get("RT_BENCH_BLOCK", 8192)),
                        reorder_secondary=os.environ.get("RT_BENCH_REORDER", "0") == "1")
     scene, cam = scenes.serial_obj_scene(
         texture_path="/root/reference/Serial/bob_diffuse.png", dtype=jnp.float32)
@@ -52,85 +240,36 @@ def main() -> None:
         scene = accel.with_chunks(scene, cfg)
     camera = scenes.make_camera(cam, width, height, dtype=jnp.float32)
 
-    from jax import lax
+    fb = FrameBench(scene, cfg)
 
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def frames(scene, camera, off, n: int):
-        # n frames in ONE device program, each with a sub-micron camera
-        # jitter: per-frame host dispatch through the remote-TPU tunnel
-        # costs ~10-20ms AND identical executions (same program AND inputs)
-        # are served from a cache — so frames vary within the loop AND every
-        # call passes a fresh ``off``. This measures pure steady-state device
-        # time.
-        def body(i, carry):
-            acc, nr = carry
-            cam_i = camera.replace(
-                position=camera.position
-                + (off + i.astype(camera.position.dtype)) * 1e-6)
-            img, nrays = render_with_stats(scene, cam_i, cfg, branching=False)
-            return acc + jnp.mean(img), nr + nrays
-        return lax.fori_loop(0, n, body, (jnp.zeros(()), jnp.zeros(())))
+    # -- headline first (most protected from tunnel trouble), emitted
+    # immediately so the capture always has it — and RE-emitted at the end so
+    # it is also the LAST JSON line (what the driver parses) ----------------
+    dt, nrays, _ = fb.measure(camera, "headline", repeats)
+    mrays = nrays / dt / 1e6
+    headline = (f"forward Mrays/s/chip {width}x{height} bob_tri.obj "
+                f"depth-{depth} ({accel_mode})")
+    emit(headline, mrays, "Mrays/s", mrays / BASELINE_MRAYS)
 
-    import sys
-
-    def run(camera, tag, reps=None):
-        reps = repeats if reps is None else reps
-        seq = iter(range(1, 1000))
-
-        def go(n):
-            # fresh offset per call (no two executions see identical inputs);
-            # the scalar float() read is the ONLY reliable completion fence —
-            # block_until_ready has been observed to return early through the
-            # remote tunnel
-            acc, nr = frames(scene, camera, jnp.float32(next(seq) * 100.0), n)
-            return float(acc), float(nr)
-
-        t0 = time.perf_counter()
-        go(1)
-        print(f"[bench:{tag}] compile+first frame: {time.perf_counter() - t0:.1f}s",
-              file=sys.stderr, flush=True)
-        go(reps + 1)      # compile the timed size outside the timing
-        # two timed attempts, take the min: the remote tunnel intermittently
-        # stalls a dispatch for tens of seconds, which would otherwise land
-        # in the measurement
-        dt1 = dt0 = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            acc, nrays_tot = go(reps + 1)
-            dt1 = min(dt1, time.perf_counter() - t0)   # repeats+1 frames
-        for _ in range(2):
-            t0 = time.perf_counter()
-            go(1)
-            dt0 = min(dt0, time.perf_counter() - t0)   # 1 frame (cancels dispatch)
-        dt = max((dt1 - dt0) / reps, 1e-9)
-        nrays = nrays_tot / (reps + 1)
-        print(f"[bench:{tag}] steady frame: {dt*1e3:.1f} ms, "
-              f"rays/frame: {nrays/1e6:.2f}M, checksum {acc:.5f}",
-              file=sys.stderr, flush=True)
-        return nrays / dt / 1e6
-
-    # secondary: hit-heavy close framing (~60% of pixels hit bob) — reported
-    # FIRST so the headline metric stays the last JSON line for the driver
-    if os.environ.get("RT_BENCH_HITHEAVY", "0") == "1" and not smoke:
+    if os.environ.get("RT_BENCH_HITHEAVY", "1") == "1" and not skip_secondary:
+        # same compiled program as the headline (camera is a traced arg):
+        # zero extra compiles, just slower frames
         cam_close = dict(cam, position=(0.0, 6.0, 14.0))
-        camera_close = scenes.make_camera(cam_close, width, height, dtype=jnp.float32)
-        # hit-heavy frames are ~10x slower: fewer reps keep the run bounded
-        mrays_hh = run(camera_close, "hit-heavy", reps=max(2, repeats // 3))
-        print(json.dumps({
-            "metric": f"forward Mrays/s/chip {width}x{height} bob close-framed "
-                      f"(~60% hit) depth-{depth} ({accel_mode})",
-            "value": round(mrays_hh, 3),
-            "unit": "Mrays/s",
-            "vs_baseline": round(mrays_hh / 50.0, 4),
-        }), flush=True)
+        camera_close = scenes.make_camera(cam_close, width, height,
+                                          dtype=jnp.float32)
+        dt_hh, nrays_hh, _ = fb.measure(camera_close, "hit-heavy", repeats)
+        mrays_hh = nrays_hh / dt_hh / 1e6
+        emit(f"forward Mrays/s/chip {width}x{height} bob close-framed "
+             f"(~60% hit) depth-{depth} ({accel_mode})",
+             mrays_hh, "Mrays/s", mrays_hh / BASELINE_MRAYS)
 
-    mrays = run(camera, "headline")
-    print(json.dumps({
-        "metric": f"forward Mrays/s/chip {width}x{height} bob_tri.obj depth-{depth} ({accel_mode})",
-        "value": round(mrays, 3),
-        "unit": "Mrays/s",
-        "vs_baseline": round(mrays / 50.0, 4),
-    }))
+    if os.environ.get("RT_BENCH_GRAD", "1") == "1" and not skip_secondary:
+        bench_grad_ratio(scene, camera, cfg, dt, max(2, repeats // 3))
+
+    if os.environ.get("RT_BENCH_STREAM", "1") == "1" and not skip_secondary:
+        bench_stream_ratio(width, height, max(2, repeats // 3))
+
+    emit(headline, mrays, "Mrays/s", mrays / BASELINE_MRAYS)
 
 
 if __name__ == "__main__":

@@ -7,10 +7,15 @@ resident; they stream per-chunk slices with double-buffered DMA
   1. bob x2 (21,376 tris, table ~5.5MB): runs BOTH variants — resident
      (default) and streaming (forced by shrinking RESIDENT_LIMIT) — the
      apples-to-apples overhead check (target: streaming within ~1.5x).
+     (This leg also runs inside plain `python bench.py` — bench_stream_ratio.)
   2. bob x4 (42,752 tris, ~10.9MB): streaming only (over the limit), the
      actual big-scene configuration.
 
-Prints one JSON line per run. Usage: python benchmarks/bench_bigscene.py (TPU).
+Timing uses bench.py's hardened protocol (jittered fori_loop, dispatch
+cancellation, min-of-attempts with agreement retry) — repeated identical
+dispatches are untrustworthy through the remote-TPU tunnel (CLAUDE.md).
+
+Usage: python benchmarks/bench_bigscene.py (TPU).
 Env: RT_BENCH_WIDTH/HEIGHT/DEPTH/REPEATS.
 """
 from __future__ import annotations
@@ -18,70 +23,25 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-import jax
 import jax.numpy as jnp
-import numpy as np
-
-
-def dup_scene(n_copies: int, dtype=jnp.float32):
-    """bob duplicated on an x/z offset grid (the CUDA app duplicates bob at
-    x±5, Parellel/main.cu:167-181 — generalized to n copies)."""
-    from realtrace_tpu.apps import scenes
-
-    scene, cam = scenes.serial_obj_scene(
-        texture_path="/root/reference/Serial/bob_diffuse.png", dtype=dtype)
-    tv = np.asarray(scene.tri_vertices)
-    tc = np.asarray(scene.tri_colors)
-    offs = [(0.0, 0.0), (18.0, 0.0), (0.0, 18.0), (18.0, 18.0),
-            (-18.0, 0.0), (0.0, -18.0)][:n_copies]
-    tvs, tcs = [], []
-    for ox, oz in offs:
-        t = tv.copy()
-        t[..., 0] += ox
-        t[..., 2] += oz
-        tvs.append(t)
-        tcs.append(tc)
-    import jax.tree_util as jtu
-
-    mats = jtu.tree_map(lambda x: jnp.concatenate([x] * n_copies),
-                        scene.tri_materials)
-    scene = scene.replace(tri_vertices=jnp.asarray(np.concatenate(tvs)),
-                          tri_colors=jnp.asarray(np.concatenate(tcs)),
-                          tri_materials=mats)
-    return scene, cam
 
 
 def bench(scene, cam, cfg, label: str, repeats: int, width: int, height: int):
+    from bench import FrameBench
     from realtrace_tpu.apps import scenes
-    from realtrace_tpu.render.pipeline import render_with_stats
 
     camera = scenes.make_camera(cam, width, height, dtype=jnp.float32)
-
-    @jax.jit
-    def frame(scene, camera):
-        return render_with_stats(scene, camera, cfg, branching=False)
-
-    t0 = time.perf_counter()
-    img, nrays = frame(scene, camera)
-    jax.block_until_ready(img)
-    print(f"[bigscene:{label}] compile+first: {time.perf_counter()-t0:.1f}s",
-          file=sys.stderr, flush=True)
-    t0 = time.perf_counter()
-    for _ in range(repeats):
-        img, nrays = frame(scene, camera)
-    jax.block_until_ready(img)
-    dt = (time.perf_counter() - t0) / repeats
-    mrays = float(nrays) / dt / 1e6
+    dt, nrays, _ = FrameBench(scene, cfg).measure(camera, label, repeats)
+    mrays = nrays / dt / 1e6
     print(json.dumps({
         "metric": f"forward Mrays/s/chip {width}x{height} {label}",
         "value": round(mrays, 3), "unit": "Mrays/s",
         "frame_ms": round(dt * 1e3, 2),
-        "rays_per_frame_M": round(float(nrays) / 1e6, 3),
+        "rays_per_frame_M": round(nrays / 1e6, 3),
     }), flush=True)
     return mrays
 
@@ -92,6 +52,7 @@ def main() -> None:
     depth = int(os.environ.get("RT_BENCH_DEPTH", 2))
     repeats = int(os.environ.get("RT_BENCH_REPEATS", 3))
 
+    from realtrace_tpu.apps import scenes
     from realtrace_tpu.core.types import RenderConfig
     from realtrace_tpu.ops import accel
     from realtrace_tpu.ops.pallas import trace as ptrace
@@ -99,7 +60,8 @@ def main() -> None:
     cfg = RenderConfig(max_depth=depth, accel="pallas", chunk_size=64)
 
     # ---- bob x2: resident vs forced-streaming on the SAME scene ----------
-    scene2, cam = dup_scene(2)
+    scene2, cam = scenes.duplicated_serial_scene(
+        2, texture_path="/root/reference/Serial/bob_diffuse.png")
     scene2 = accel.with_chunks(scene2, cfg)
     m_res = bench(scene2, cam, cfg, "bob_x2 21k tris (resident)",
                   repeats, width, height)
@@ -116,7 +78,8 @@ def main() -> None:
     }), flush=True)
 
     # ---- bob x4: over the VMEM limit -> streaming by construction --------
-    scene4, cam = dup_scene(4)
+    scene4, cam = scenes.duplicated_serial_scene(
+        4, texture_path="/root/reference/Serial/bob_diffuse.png")
     scene4 = accel.with_chunks(scene4, cfg)
     pack = ptrace.build_pack(scene4, cfg)
     assert not pack.resident, "expected the over-limit scene to stream"

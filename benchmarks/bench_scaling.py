@@ -67,6 +67,26 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return best
 
+    # BASELINE config 5 leg: the ANIMATED interactive-camera flythrough
+    # through the sharded render path on the full mesh (orbit camera is a
+    # traced arg — one compile for the whole sweep)
+    if os.environ.get("RT_SCALE_FLYTHROUGH", "1") == "1":
+        from realtrace_tpu.apps.flythrough import run_flythrough
+        from realtrace_tpu.render.camera import InteractiveCamera
+
+        mesh = pmesh.make_mesh(n, shape=(n, 1))
+        orbit = InteractiveCamera(radius=85.0, pitch=0.6,
+                                  resolution=(width, tile_h * n))
+        frames = int(os.environ.get("RT_SCALE_FRAMES", 6))
+        _, fps = run_flythrough(scene, orbit, cfg, frames=frames, mesh=mesh)
+        print(json.dumps({
+            "metric": f"sharded flythrough fps, {n}-device mesh "
+                      f"({jax.default_backend()}, {width}x{tile_h * n}, "
+                      f"{frames} frames)",
+            "value": round(fps, 3),
+            "unit": "fps",
+        }), flush=True)
+
     t1 = timed(1)
     tn = timed(n)
     eff = t1 / tn

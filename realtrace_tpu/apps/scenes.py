@@ -109,6 +109,36 @@ def parallel_obj_scene(obj_path=None, dtype=jnp.float32, scale: float = 2.0,
     return b.build(), cam
 
 
+def duplicated_serial_scene(n_copies: int, dtype=jnp.float32,
+                            texture_path=None) -> tuple[Scene, dict]:
+    """bob duplicated on an x/z offset grid — the big-scene workload.
+
+    Generalizes the CUDA app's model duplication at x±5
+    (Parellel/main.cu:167-181) to n copies, used to push the triangle count
+    past the VMEM-resident limit (streaming-kernel benchmarks)."""
+    import numpy as np
+    import jax.tree_util as jtu
+
+    scene, cam = serial_obj_scene(texture_path=texture_path, dtype=dtype)
+    tv = np.asarray(scene.tri_vertices)
+    tc = np.asarray(scene.tri_colors)
+    offs = [(0.0, 0.0), (18.0, 0.0), (0.0, 18.0), (18.0, 18.0),
+            (-18.0, 0.0), (0.0, -18.0)][:n_copies]
+    tvs, tcs = [], []
+    for ox, oz in offs:
+        t = tv.copy()
+        t[..., 0] += ox
+        t[..., 2] += oz
+        tvs.append(t)
+        tcs.append(tc)
+    mats = jtu.tree_map(lambda x: jnp.concatenate([x] * n_copies),
+                        scene.tri_materials)
+    scene = scene.replace(tri_vertices=jnp.asarray(np.concatenate(tvs)),
+                          tri_colors=jnp.asarray(np.concatenate(tcs)),
+                          tri_materials=mats)
+    return scene, cam
+
+
 def make_camera(cam: dict, width: int, height: int, dtype=jnp.float32) -> Camera:
     return Camera.make(cam["position"], cam["target"], cam["up"], cam["fovy"],
                        width, height, dtype=dtype)
