@@ -372,16 +372,25 @@ def _compact_children(child_r, child_t, pix: Array):
     children, geometrically-decayed coefficients) is dropped.
 
     ``pix`` maps each lane to its output pixel slot (children inherit the
-    parent's). Returns (ro, rd, coeff, pix) at width K.
+    parent's). Returns (ro, rd, coeff, pix, dropped) at width K; ``dropped``
+    is the total contribution-coefficient mass of live children beyond the
+    capacity (0.0 when nothing overflowed) — the image error of the drop is
+    bounded by that mass (colors are clamped to [0,1] per channel), and the
+    stat is threaded up so callers/tests can assert the bound
+    (tests/test_branching.py pins both the no-overflow and overflow cases).
     """
     k = pix.shape[0]
     ro2 = jnp.concatenate([child_r[0], child_t[0]])
     rd2 = jnp.concatenate([child_r[1], child_t[1]])
     coeff2 = jnp.concatenate([child_r[2], child_t[2]])
     pix2 = jnp.concatenate([pix, pix])
-    live = jnp.any(lax.stop_gradient(coeff2) > 0.0, axis=-1)
-    order = jnp.argsort(~live, stable=True)[:k].astype(jnp.int32)
-    return ro2[order], rd2[order], coeff2[order], pix2[order]
+    mass = jnp.sum(lax.stop_gradient(coeff2), axis=-1).astype(jnp.float32)
+    live = mass > 0.0
+    order_full = jnp.argsort(~live, stable=True).astype(jnp.int32)
+    order = order_full[:k]
+    tail = order_full[k:]                       # live lanes here overflowed
+    dropped = jnp.sum(jnp.where(live[tail], mass[tail], 0.0))
+    return ro2[order], rd2[order], coeff2[order], pix2[order], dropped
 
 
 def _branch_entry(scene: Scene, ro0: Array, rd0: Array, coeff0: Array,
@@ -417,7 +426,8 @@ def _branch_entry(scene: Scene, ro0: Array, rd0: Array, coeff0: Array,
                               pack=pack, miss_background=miss_background,
                               shadowed=occ0)
     accum = accum.at[pix0].add(contrib0, mode="drop")
-    carry = (ro_k, rd_k, coeff_k, pix_k, *qk, accum, nrays)
+    carry = (ro_k, rd_k, coeff_k, pix_k, *qk, accum, nrays,
+             jnp.zeros((), jnp.float32))     # dropped-overflow coeff mass
     return carry
 
 
@@ -436,12 +446,14 @@ def _branch_levels(scene: Scene, cfg: RenderConfig, pack, carry, count_rays):
     Returns (accum, nrays) with depth-exceeded children folded to background.
     """
     def step(carry, is_last):
-        ro_s, rd_s, coeff_s, pix, t, fam, idx, accum, nrays = carry
+        ro_s, rd_s, coeff_s, pix, t, fam, idx, accum, nrays, dropped = carry
         hit = hit_attributes(scene, ro_s, rd_s, t, fam, idx, cfg, pack=pack)
         nrays = nrays + count_rays(coeff_s, hit)
         valid, is_diel, child_r, child_t = _children_geom(scene, hit, ro_s,
                                                           rd_s, coeff_s, cfg)
-        ro_n, rd_n, coeff_n, pix_n = _compact_children(child_r, child_t, pix)
+        ro_n, rd_n, coeff_n, pix_n, drop_l = _compact_children(child_r,
+                                                               child_t, pix)
+        dropped = dropped + drop_l
         ro_q, rd_q = _park_dead(ro_n, rd_n,
                                 jnp.broadcast_to(~is_last, pix.shape))
         occ, [qn] = _merged_query(scene, hit, valid, (ro_q, rd_q, coeff_n),
@@ -449,22 +461,28 @@ def _branch_levels(scene: Scene, cfg: RenderConfig, pack, carry, count_rays):
         contrib = _local_contrib(scene, hit, rd_s, coeff_s, valid, is_diel,
                                  cfg, pack=pack, shadowed=occ)
         accum = accum.at[pix].add(contrib, mode="drop")
-        return (ro_n, rd_n, coeff_n, pix_n, *qn, accum, nrays), None
+        return (ro_n, rd_n, coeff_n, pix_n, *qn, accum, nrays, dropped), None
 
     if cfg.max_depth > 0:
         xs = jnp.arange(cfg.max_depth) == cfg.max_depth - 1
         carry, _ = lax.scan(_level_ckpt(cfg)(step), carry, xs)
-    _, _, coeff_f, pix_f, _, _, _, accum, nrays = carry
+    _, _, coeff_f, pix_f, _, _, _, accum, nrays, dropped = carry
     # depth-exceeded live children → background (Serial/world.cpp:37-39 analog)
     accum = accum.at[pix_f].add(coeff_f * scene.background[None], mode="drop")
-    return accum, nrays
+    return accum, nrays, dropped
 
 
 def trace_wavefront(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
                     branching: bool | None = None, coeff: Array | None = None,
-                    with_stats: bool = False, feat0: Array | None = None):
+                    with_stats: bool = False, feat0: Array | None = None,
+                    debug_stats: dict | None = None):
     """Trace a wavefront of rays to completion; returns accumulated color
     (R,3) and, optionally, the traced-ray count (for Mrays/s accounting).
+
+    ``debug_stats``: pass a dict to receive diagnostics; the branching path
+    fills "dropped_children_coeff" — the total coefficient mass of live
+    (reflect ‖ refract) children dropped by `_compact_children` capacity
+    overflow (0.0 in ordinary Whitted scenes; bounds the image error).
 
     ``branching=None`` auto-selects: dielectric scenes get the flat 2W-wide
     compacted (reflect ‖ refract) wavefront (``_branch_levels``); otherwise a
@@ -808,7 +826,10 @@ def trace_wavefront(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
         accum = jnp.zeros_like(ro)
         carry = _branch_entry(scene, ro, rd, coeff, pix, accum, cfg, pack,
                               count_rays, feat0=feat0)
-        accum, nrays = _branch_levels(scene, cfg, pack, carry, count_rays)
+        accum, nrays, dropped = _branch_levels(scene, cfg, pack, carry,
+                                               count_rays)
+        if debug_stats is not None:
+            debug_stats["dropped_children_coeff"] = dropped
         return (accum, nrays) if with_stats else accum
 
     # hit-tile compaction at level 0, as in the non-branching path: the only
@@ -860,6 +881,9 @@ def trace_wavefront(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
         return br
 
     b = jnp.sum(cnt > caps_arr)
-    accum, nrays_d = lax.switch(b, [_level_ckpt(cfg)(branch(c)) for c in caps],
-                                (t0, fam0, idx0, coeff, accum0))
+    accum, nrays_d, dropped = lax.switch(
+        b, [_level_ckpt(cfg)(branch(c)) for c in caps],
+        (t0, fam0, idx0, coeff, accum0))
+    if debug_stats is not None:
+        debug_stats["dropped_children_coeff"] = dropped
     return (accum, nrays0 + nrays_d) if with_stats else accum
