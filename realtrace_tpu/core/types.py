@@ -262,9 +262,15 @@ class RenderConfig:
     ray_block: int = 2048                  # rays per lax.map block in XLA paths
     matmul_precision: str = "highest"      # pallas triangle-test MXU precision
     # wavefronts at or below this many rays use the EXACT per-ray chunk mask
-    # (O(rays x chunks) VPU) instead of the conservative per-tile interval
-    # mask — decisive for divergent secondary bounces (docs/KERNEL.md)
+    # (O(rays x chunks) VPU, blockwise so memory stays bounded) instead of
+    # the conservative per-tile interval mask — decisive for divergent
+    # secondary bounces (docs/KERNEL.md)
     exact_mask_rays: int = 1 << 19
+    # force the exact mask for ALL secondary (shadow + child) queries
+    # regardless of width: interval lists are 2-2.5x looser than exact for
+    # those wavefronts on close framings (benchmarks/exp_mask_stats.py);
+    # primaries keep the width heuristic (their interval lists are tight)
+    exact_mask_secondary: bool = True
     # inter-level wavefront compaction: deep bounce levels run on only the
     # live tiles (gathered to a power-of-two tile capacity via lax.switch) —
     # exact, shape-static, and the XLA shading work shrinks with the wavefront

@@ -153,7 +153,7 @@ def cylinder_test(ro: Array, rd: Array, center: Array, up: Array, radius: Array,
 # ---------------------------------------------------------------------------
 
 def _tri_closest(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
-                 pack=None, feat=None):
+                 pack=None, feat=None, exact_mask=None):
     """Nearest triangle per ray: (t, idx) with BIG/-1 for miss.
 
     Dispatches on cfg.accel. The pallas path returns SORTED-space indices
@@ -173,7 +173,8 @@ def _tri_closest(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
     if cfg.accel == "pallas":
         from realtrace_tpu.ops.pallas import trace
         return trace.closest_triangle(scene, ro, rd, cfg, pack=pack,
-                                      raw_idx=True, feat=feat)
+                                      raw_idx=True, feat=feat,
+                                      exact_mask=exact_mask)
     from realtrace_tpu.ops import accel
     return accel.closest_triangle(scene, ro, rd, cfg)
 
@@ -190,7 +191,7 @@ def _family_min(cands):
 
 
 def closest_query(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
-                  pack=None, feat=None):
+                  pack=None, feat=None, exact_mask=None):
     """Forward-only nearest-hit SELECTION over all primitive families:
     ``(t_fwd, fam, idx)`` per ray (idx is family-local; triangles in pallas
     mode are SORTED-space — ``hit_attributes`` maps back). Split from the
@@ -202,7 +203,8 @@ def closest_query(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
     cands = []
     t_tri, idx_tri = _tri_closest(scene, lax.stop_gradient(ro), lax.stop_gradient(rd),
                                   cfg, pack=pack,
-                                  feat=None if feat is None else lax.stop_gradient(feat))
+                                  feat=None if feat is None else lax.stop_gradient(feat),
+                                  exact_mask=exact_mask)
     cands.append((t_tri, jnp.where(idx_tri >= 0, FAM_TRI, FAM_NONE), idx_tri))
 
     sro, srd = lax.stop_gradient(ro), lax.stop_gradient(rd)
@@ -384,7 +386,7 @@ def closest_hit(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
 
 
 def any_hit(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
-            pack=None) -> Array:
+            pack=None, exact_mask=None) -> Array:
     """Occlusion query for shadow rays: does *anything* intersect with
     t > SMALLEST_DIST?  Ref semantics: the serial shadow test runs a full
     firstIntersection and checks didHit() (Serial/world.cpp:44-47) — no
@@ -401,7 +403,8 @@ def any_hit(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
             occ |= jnp.any(t < BIG, axis=1)
         elif cfg.accel == "pallas":
             from realtrace_tpu.ops.pallas import trace
-            occ |= trace.any_triangle(scene, ro, rd, cfg, pack=pack)
+            occ |= trace.any_triangle(scene, ro, rd, cfg, pack=pack,
+                                      exact_mask=exact_mask)
         else:
             from realtrace_tpu.ops import accel
             occ |= accel.any_triangle(scene, ro, rd, cfg)

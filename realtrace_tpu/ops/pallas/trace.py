@@ -133,8 +133,10 @@ def _reduce_update(p, best_t, best_i, m, c, det_eps, t_min, any_mode):
     t = tnum * invd
     beta = bnum * invd
     gamma = gnum * invd
+    # (no `t < best_t` term: the `upd = tmin < best_t` test below already
+    # enforces it — one fewer (C, LANES) compare+and in the VPU-bound epilogue)
     valid = (ok & (beta > 0.0) & (gamma > 0.0) & (beta + gamma < 1.0)
-             & (t > t_min) & (t < best_t))
+             & (t > t_min))
     tm = jnp.where(valid, t, BIG)            # (C, LANES)
     tmin = jnp.min(tm, axis=0, keepdims=True)
     amin = jnp.argmin(tm, axis=0, keepdims=True).astype(jnp.int32)
@@ -417,13 +419,22 @@ def _compact_front_to_back(mask, entry):
     return order[:, None, :], entry_sorted[:, None, :], counts[:, None, None]
 
 
+EXACT_MASK_BLOCK_TILES = 32   # tiles per lax.map step: bounds the (R, M)
+                              # slab temporaries to ~45MB at 334 chunks
+
+
 def _chunk_mask_exact(ro, rd, lo, hi, nt):
     """EXACT per-tile chunk visibility: per-ray slab test, OR-reduced over
-    each tile's lanes. O(R x M) VPU work, so it only pays at compacted
-    (secondary) wavefront widths — where it is decisive: divergent reflection
-    directions make the interval mask's [inv_min, inv_max] box span sign
-    changes and degenerate to ~everything (measured 61-95 of 167 chunks/tile
-    listed on bob bounce levels vs ~0.9 at level 0, benchmarks/exp_levels.py).
+    each tile's lanes. Decisive wherever the interval mask is loose:
+    divergent reflections (the [inv_min, inv_max] box spans sign changes and
+    degenerates to ~everything — measured 61-95 of 167 chunks/tile on bob
+    bounce levels) AND close framings (hit-heavy shadow/child unions shrink
+    to ~0.4x/0.47x of the octant-interval lists, benchmarks/exp_mask_stats).
+
+    The O(R x M) slab temporaries are bounded by processing tile BLOCKS
+    through lax.map (EXACT_MASK_BLOCK_TILES tiles per step), so the mask
+    runs at FULL wavefront width (2M+ rays) in ~45MB of scratch instead of
+    a 2.8GB materialization.
 
     Never excludes a chunk any lane's forward half-line enters (triangle ⊂
     chunk AABB ⇒ any triangle hit implies a slab hit). Same compacted-list
@@ -431,24 +442,38 @@ def _chunk_mask_exact(ro, rd, lo, hi, nt):
     entry bound (min over hitting lanes of the slab entry) is tighter, which
     also sharpens the kernel's front-to-back early exit.
     """
-    inv = jnp.where(rd != 0.0, 1.0 / jnp.where(rd != 0.0, rd, 1.0), BIG)
-    r = ro.shape[0]
     m = lo.shape[0]
-    live = ro[:, 0] != PARK_DISTANCE                           # (R,)
-    tn = jnp.zeros((r, m), jnp.float32)                        # entry ≥ 0
-    tf = jnp.full((r, m), BIG, jnp.float32)
-    for ax in range(3):
-        t1 = (lo[None, :, ax] - ro[:, None, ax]) * inv[:, None, ax]
-        t2 = (hi[None, :, ax] - ro[:, None, ax]) * inv[:, None, ax]
-        tn = jnp.maximum(tn, jnp.minimum(t1, t2))
-        tf = jnp.minimum(tf, jnp.maximum(t1, t2))
-    # small relative pad so f32 rounding can't drop a grazing chunk
-    hit = (tf * (1.0 + 1e-6) + 1e-6 >= tn) & live[:, None]     # (R, M)
-    hit_t = hit.reshape(nt, LANES, m)
-    mask = jnp.any(hit_t, axis=1)                              # (nt, M)
-    entry = jnp.min(jnp.where(hit_t, tn.reshape(nt, LANES, m), jnp.inf),
-                    axis=1)                                    # (nt, M)
-    entry = jnp.where(mask, entry, 0.0)
+    bt = min(EXACT_MASK_BLOCK_TILES, nt)
+    nb = -(-nt // bt)
+    pad_t = nb * bt - nt
+    if pad_t:   # pad with parked tiles (live=False → empty lists)
+        ro = jnp.concatenate([ro, jnp.full((pad_t * LANES, 3), PARK_DISTANCE,
+                                           ro.dtype)])
+        rd = jnp.concatenate([rd, jnp.ones((pad_t * LANES, 3), rd.dtype)])
+
+    def block(args):
+        ro_b, rd_b = args                                      # (bt*LANES, 3)
+        inv = jnp.where(rd_b != 0.0, 1.0 / jnp.where(rd_b != 0.0, rd_b, 1.0), BIG)
+        live = ro_b[:, 0] != PARK_DISTANCE                     # (bt*LANES,)
+        tn = jnp.zeros((ro_b.shape[0], m), jnp.float32)        # entry ≥ 0
+        tf = jnp.full((ro_b.shape[0], m), BIG, jnp.float32)
+        for ax in range(3):
+            t1 = (lo[None, :, ax] - ro_b[:, None, ax]) * inv[:, None, ax]
+            t2 = (hi[None, :, ax] - ro_b[:, None, ax]) * inv[:, None, ax]
+            tn = jnp.maximum(tn, jnp.minimum(t1, t2))
+            tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+        # small relative pad so f32 rounding can't drop a grazing chunk
+        hit = (tf * (1.0 + 1e-6) + 1e-6 >= tn) & live[:, None]  # (R_b, M)
+        hit_t = hit.reshape(bt, LANES, m)
+        mask_b = jnp.any(hit_t, axis=1)                        # (bt, M)
+        entry_b = jnp.min(jnp.where(hit_t, tn.reshape(bt, LANES, m), jnp.inf),
+                          axis=1)                              # (bt, M)
+        return mask_b, jnp.where(mask_b, entry_b, 0.0)
+
+    mask, entry = lax.map(block, (ro.reshape(nb, bt * LANES, 3),
+                                  rd.reshape(nb, bt * LANES, 3)))
+    mask = mask.reshape(nb * bt, m)[:nt]
+    entry = entry.reshape(nb * bt, m)[:nt]
     return _compact_front_to_back(mask, entry)
 
 
@@ -496,7 +521,8 @@ def build_pack(scene: Scene, cfg: RenderConfig) -> AccelPack:
 
 def closest_triangle(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
                      any_mode: bool = False, pack: AccelPack | None = None,
-                     raw_idx: bool = False, feat: Array | None = None):
+                     raw_idx: bool = False, feat: Array | None = None,
+                     exact_mask: bool | None = None):
     """accel-API entry: nearest triangle (t, index) via the Pallas chunk
     sweep. Forward-only (callers stop gradients). ``any_mode`` turns the
     query into first-hit occlusion (shadow rays). ``raw_idx`` returns the
@@ -504,7 +530,10 @@ def closest_triangle(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
     skips a 20ms/2M-ray permutation gather; default is the original index.
     ``feat`` optionally supplies the (FEAT, R) feature matrix prebuilt in row
     layout (see render/pipeline._primary_features) — skips ``_features``'s
-    full-wavefront transpose.
+    full-wavefront transpose. ``exact_mask`` forces the exact per-ray chunk
+    mask on (True) or off (False); None keeps the width heuristic — callers
+    know which wavefronts the interval mask serves poorly (secondary rays,
+    close framings; see benchmarks/exp_mask_stats.py).
     """
     if pack is None:
         pack = build_pack(scene, cfg)
@@ -527,9 +556,11 @@ def closest_triangle(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
         feat = feat.astype(f32)
     nt = feat.shape[1] // LANES
     # exact per-ray masks for compacted (secondary) widths, interval masks
-    # for full-width primary wavefronts where O(R*M) would dominate
-    mask_fn = (_chunk_mask_exact if ro32.shape[0] <= cfg.exact_mask_rays
-               else _chunk_mask)
+    # for full-width primary wavefronts where the interval lists are already
+    # tight; callers override via ``exact_mask``
+    if exact_mask is None:
+        exact_mask = ro32.shape[0] <= cfg.exact_mask_rays
+    mask_fn = _chunk_mask_exact if exact_mask else _chunk_mask
     chunk_list, entry, counts = mask_fn(ro32, rd32, lo, hi, nt)
 
     interpret = jax.default_backend() == "cpu"
@@ -546,8 +577,9 @@ def closest_triangle(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
 
 
 def any_triangle(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
-                 pack: AccelPack | None = None) -> Array:
+                 pack: AccelPack | None = None,
+                 exact_mask: bool | None = None) -> Array:
     # raw indices: occlusion only needs idx >= 0, the perm map would be waste
     t, idx = closest_triangle(scene, ro, rd, cfg, any_mode=True, pack=pack,
-                              raw_idx=True)
+                              raw_idx=True, exact_mask=exact_mask)
     return idx >= 0

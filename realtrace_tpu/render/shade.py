@@ -270,20 +270,33 @@ def _merged_query(scene: Scene, hit: Hit, valid: Array, children, cfg: RenderCon
     # tile: live bounce tiles see ~50 of 334 chunks (tile-union of 1024
     # divergent directions) vs ~1 for primaries. Sorting ONLY the query by
     # the Morton/octant coherence key re-tiles children into spatially
-    # coherent kernel tiles (~1ms of sort+gathers against several ms of
-    # sweep); results are un-sorted immediately, so the wavefront carry
-    # stays in pixel-lane order. Entirely inside the stop-gradient region.
+    # coherent kernel tiles; results are un-sorted immediately, so the
+    # wavefront carry stays in pixel-lane order. Both directions use ONE
+    # variadic lax.sort carrying the ray columns — row gathers by a
+    # permutation (the round-2 implementation) run at ~0.5GB/s on TPU and
+    # cost >100ms at full wavefront widths (the hidden regression that took
+    # the captured headline from 33ms to 45ms). Entirely stop-gradient.
     reorder = (pack is not None and cfg.reorder_children
                and scene.n_triangles > 0)
+    # secondary wavefronts get the exact per-ray chunk mask at ANY width
+    # (blockwise, memory-bounded): interval lists are 2-2.5x looser for
+    # shadow/child rays on close framings (benchmarks/exp_mask_stats.py)
+    em = True if cfg.exact_mask_secondary else None
 
     def _sorted_query_child(ro_c, rd_c, coeff_c):
         live = jnp.any(lax.stop_gradient(coeff_c) > 0.0, axis=-1)
         key = _coherence_key(lax.stop_gradient(ro_c), lax.stop_gradient(rd_c),
                              pack.scene_lo, pack.scene_hi, live)
-        order = jnp.argsort(key).astype(jnp.int32)
-        inv = jnp.zeros_like(order).at[order].set(
-            jnp.arange(order.shape[0], dtype=jnp.int32))
-        return ro_c[order], rd_c[order], inv
+        ro_g = lax.stop_gradient(ro_c)
+        rd_g = lax.stop_gradient(rd_c)
+        ids = jnp.arange(key.shape[0], dtype=jnp.int32)
+        (_, ro0, ro1, ro2, rd0, rd1, rd2, ids_s) = lax.sort(
+            (key, ro_g[:, 0], ro_g[:, 1], ro_g[:, 2],
+             rd_g[:, 0], rd_g[:, 1], rd_g[:, 2], ids),
+            dimension=0, num_keys=1, is_stable=False)
+        ro_s = jnp.stack([ro0, ro1, ro2], axis=1)
+        rd_s = jnp.stack([rd0, rd1, rd2], axis=1)
+        return ro_s, rd_s, ids_s
 
     invs = [None] * len(children)
     if reorder:
@@ -298,7 +311,8 @@ def _merged_query(scene: Scene, hit: Hit, valid: Array, children, cfg: RenderCon
     nl = scene.lights.position.shape[0] if cfg.shadows else 0
     if nl == 0:
         t, fam, idx = closest_query(scene, jnp.concatenate(ro_cs),
-                                    jnp.concatenate(rd_cs), cfg, pack=pack)
+                                    jnp.concatenate(rd_cs), cfg, pack=pack,
+                                    exact_mask=em)
         occ = None
     elif cfg.shadow_any_mode:
         # shadows as ONE batched first-hit (any-mode) query: the occlusion
@@ -310,19 +324,22 @@ def _merged_query(scene: Scene, hit: Hit, valid: Array, children, cfg: RenderCon
         sh = _shadow_targets(scene, lax.stop_gradient(hit.position),
                              lax.stop_gradient(valid), cfg)
         occ_all = any_hit(scene, jnp.concatenate([o for o, _ in sh]),
-                          jnp.concatenate([d for _, d in sh]), cfg, pack=pack)
+                          jnp.concatenate([d for _, d in sh]), cfg, pack=pack,
+                          exact_mask=em)
         r = hit.t.shape[0]
         occ = jnp.zeros((r,), bool)
         for l in range(nl):
             occ |= occ_all[l * r:(l + 1) * r]
         t, fam, idx = closest_query(scene, jnp.concatenate(ro_cs),
-                                    jnp.concatenate(rd_cs), cfg, pack=pack)
+                                    jnp.concatenate(rd_cs), cfg, pack=pack,
+                                    exact_mask=em)
     else:
         sh = _shadow_targets(scene, lax.stop_gradient(hit.position),
                              lax.stop_gradient(valid), cfg)
         ros = jnp.concatenate([o for o, _ in sh] + ro_cs)
         rds = jnp.concatenate([d for _, d in sh] + rd_cs)
-        t, fam, idx = closest_query(scene, ros, rds, cfg, pack=pack)
+        t, fam, idx = closest_query(scene, ros, rds, cfg, pack=pack,
+                                    exact_mask=em)
         r = hit.t.shape[0]
         occ = jnp.zeros((r,), bool)
         for l in range(nl):
@@ -334,8 +351,10 @@ def _merged_query(scene: Scene, hit: Hit, valid: Array, children, cfg: RenderCon
     for k, ro_c in enumerate(ro_cs):
         e = s + ro_c.shape[0]
         tk, famk, idxk = t[s:e], fam[s:e], idx[s:e]
-        if invs[k] is not None:   # back to pixel-lane order
-            tk, famk, idxk = tk[invs[k]], famk[invs[k]], idxk[invs[k]]
+        if invs[k] is not None:   # back to pixel-lane order: one variadic sort
+            _, tk, famk, idxk = lax.sort((invs[k], tk, famk, idxk),
+                                         dimension=0, num_keys=1,
+                                         is_stable=False)
         out.append((tk, famk, idxk))
         s = e
     return occ, out
