@@ -234,9 +234,9 @@ def main() -> None:
                        chunk_size=int(os.environ.get("RT_BENCH_CHUNK", 32)),
                        ray_block=int(os.environ.get("RT_BENCH_BLOCK", 8192)),
                        reorder_secondary=os.environ.get("RT_BENCH_REORDER", "0") == "1",
-                       reorder_children=os.environ.get("RT_BENCH_REORDER_CHILDREN", "1") == "1",
+                       reorder_children=os.environ.get("RT_BENCH_REORDER_CHILDREN", "0") == "1",
                        exact_mask_rays=int(os.environ.get("RT_BENCH_EXACT_MASK", 1 << 19)),
-                       exact_mask_secondary=os.environ.get("RT_BENCH_EXACT_SECONDARY", "1") == "1")
+                       exact_mask_secondary=os.environ.get("RT_BENCH_EXACT_SECONDARY", "0") == "1")
     scene, cam = scenes.serial_obj_scene(
         texture_path="/root/reference/Serial/bob_diffuse.png", dtype=jnp.float32)
     if accel_mode != "bruteforce":

@@ -267,10 +267,13 @@ class RenderConfig:
     # secondary bounces (docs/KERNEL.md)
     exact_mask_rays: int = 1 << 19
     # force the exact mask for ALL secondary (shadow + child) queries
-    # regardless of width: interval lists are 2-2.5x looser than exact for
-    # those wavefronts on close framings (benchmarks/exp_mask_stats.py);
-    # primaries keep the width heuristic (their interval lists are tight)
-    exact_mask_secondary: bool = True
+    # regardless of width. DEFAULT OFF (width heuristic): interval lists ARE
+    # 2-2.5x looser than exact on close framings (benchmarks/exp_mask_stats),
+    # but the kernel's front-to-back + all-occluded early exits already skip
+    # most of that slack, so full-width exact masks cost more than they save
+    # — measured hit-heavy 1080p: heuristic 247.7ms vs forced-exact 273.4ms
+    # (benchmarks/exp_hh_ablate.py); headline difference is <1%.
+    exact_mask_secondary: bool = False
     # inter-level wavefront compaction: deep bounce levels run on only the
     # live tiles (gathered to a power-of-two tile capacity via lax.switch) —
     # exact, shape-static, and the XLA shading work shrinks with the wavefront
@@ -306,5 +309,9 @@ class RenderConfig:
     # sort ONLY the child-ray QUERY by the coherence key inside the merged
     # per-level queries (results un-sorted right after): live bounce tiles
     # otherwise see ~50 chunks (union of 1024 divergent reflections) vs ~5
-    # re-tiled; unlike reorder_secondary, the wavefront carry never moves
-    reorder_children: bool = True
+    # re-tiled; unlike reorder_secondary, the wavefront carry never moves.
+    # DEFAULT OFF: the two full-width variadic sorts cost more than the
+    # tighter tiles save once the early exits are in — measured hit-heavy
+    # 1080p 247.7ms (off) vs 291.7ms (on), headline 35.3 vs 34.4
+    # (benchmarks/exp_hh_ablate.py / exp_head_ablate.py); net loser.
+    reorder_children: bool = False

@@ -286,21 +286,38 @@ def hit_attributes(scene: Scene, ro: Array, rd: Array, t_fwd: Array, fam: Array,
             index_out = jnp.where(m, g[:, 24].astype(i32), index_out)
         else:
             g = table[idx]                                 # (R, 24)
-        tv = g[:, 0:9].reshape(-1, 3, 3)
-        tc = g[:, 9:18].reshape(-1, 3, 3)
-        a, b, c = tv[:, 0], tv[:, 1], tv[:, 2]
-        e1, e2 = a - b, a - c
-        nrm = vec.cross(e1, e2)
-        det = vec.dot(rd, nrm)
+        # COLUMNAR math: slice g into (R,) columns and keep every cross/dot
+        # as scalar mul/add chains — one XLA loop fusion reading the gathered
+        # table ONCE. The (R,3)-vector formulation (reshape + vec.dot)
+        # compiled to SIX separate full-width reduce fusions + relayout
+        # copies that each re-streamed the 200MB (R,25) array from HBM
+        # (~22ms/level at hit-heavy 1080p; see docs/KERNEL.md round-3).
+        ax, ay, az = g[:, 0], g[:, 1], g[:, 2]
+        bx, by, bz = g[:, 3], g[:, 4], g[:, 5]
+        cx, cy, cz = g[:, 6], g[:, 7], g[:, 8]
+        rx, ry, rz = rd[:, 0], rd[:, 1], rd[:, 2]
+        ox, oy, oz = ro[:, 0], ro[:, 1], ro[:, 2]
+        e1x, e1y, e1z = ax - bx, ay - by, az - bz
+        e2x, e2y, e2z = ax - cx, ay - cy, az - cz
+        nx = e1y * e2z - e1z * e2y
+        ny = e1z * e2x - e1x * e2z
+        nz = e1x * e2y - e1y * e2x
+        det = rx * nx + ry * ny + rz * nz
         det_safe = jnp.where(jnp.abs(det) > 0, det, 1.0)
-        s = a - ro
-        tt = vec.dot(s, nrm) / det_safe
-        beta = vec.dot(rd, jnp.cross(s, e2)) / det_safe
-        gamma = vec.dot(rd, jnp.cross(e1, s)) / det_safe
+        sx, sy, sz = ax - ox, ay - oy, az - oz
+        tt = (sx * nx + sy * ny + sz * nz) / det_safe
+        # beta = rd . (s x e2) / det ; gamma = rd . (e1 x s) / det
+        beta = (rx * (sy * e2z - sz * e2y) + ry * (sz * e2x - sx * e2z)
+                + rz * (sx * e2y - sy * e2x)) / det_safe
+        gamma = (rx * (e1y * sz - e1z * sy) + ry * (e1z * sx - e1x * sz)
+                 + rz * (e1x * sy - e1y * sx)) / det_safe
         alpha = 1.0 - beta - gamma
-        col = alpha[:, None] * tc[:, 0] + beta[:, None] * tc[:, 1] + gamma[:, None] * tc[:, 2]
+        col = jnp.stack(
+            [alpha * g[:, 9] + beta * g[:, 12] + gamma * g[:, 15],
+             alpha * g[:, 10] + beta * g[:, 13] + gamma * g[:, 16],
+             alpha * g[:, 11] + beta * g[:, 14] + gamma * g[:, 17]], axis=1)
         t_d = sel(m, tt, t_d)
-        normal = sel(m, nrm, normal)
+        normal = sel(m, jnp.stack([nx, ny, nz], axis=1), normal)
         color = sel(m, col, color)
         for j, k in enumerate(("ka", "kd", "ks", "kr", "kt", "eta")):
             mats[k] = sel(m, g[:, 18 + j], mats[k])

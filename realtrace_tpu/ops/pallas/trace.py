@@ -395,7 +395,9 @@ def _chunk_mask(ro, rd, lo, hi, nt):
         tn_lo = jnp.minimum(ta_lo, tb_lo).max(-1)    # (nt,M) optimistic entry
         tf_hi = jnp.maximum(ta_hi, tb_hi).min(-1)    # optimistic exit
         e = jnp.maximum(tn_lo, 0.0)
-        m_o = (tf_hi >= e) & any_o[:, None]
+        # same relative pad as the exact mask, so the exact mask (gated by
+        # this list) can never be the stricter of the two on a grazing chunk
+        m_o = (tf_hi * (1.0 + 1e-6) + 1e-6 >= e) & any_o[:, None]
         e = jnp.where(m_o, e, BIG)
         mask = m_o if mask is None else (mask | m_o)
         entry = e if entry is None else jnp.minimum(entry, e)
@@ -419,8 +421,11 @@ def _compact_front_to_back(mask, entry):
     return order[:, None, :], entry_sorted[:, None, :], counts[:, None, None]
 
 
-EXACT_MASK_BLOCK_TILES = 32   # tiles per lax.map step: bounds the (R, M)
-                              # slab temporaries to ~45MB at 334 chunks
+EXACT_MASK_BLOCK_TILES = 32   # tiles per lax.map step: bounds the per-ray
+                              # slab temporaries to ~50MB at the gate cap
+EXACT_GATE_CAP = 96           # interval-shortlist candidates refined per-ray
+                              # per tile; the (rare) interval tail beyond the
+                              # cap is kept conservatively un-refined
 
 
 def _chunk_mask_exact(ro, rd, lo, hi, nt):
@@ -431,10 +436,16 @@ def _chunk_mask_exact(ro, rd, lo, hi, nt):
     bounce levels) AND close framings (hit-heavy shadow/child unions shrink
     to ~0.4x/0.47x of the octant-interval lists, benchmarks/exp_mask_stats).
 
-    The O(R x M) slab temporaries are bounded by processing tile BLOCKS
-    through lax.map (EXACT_MASK_BLOCK_TILES tiles per step), so the mask
-    runs at FULL wavefront width (2M+ rays) in ~45MB of scratch instead of
-    a 2.8GB materialization.
+    TWO-LEVEL: the octant-interval mask (cheap, O(tiles x chunks)) first
+    shortlists each tile's candidate chunks; the per-ray slab test then runs
+    ONLY over the first EXACT_GATE_CAP shortlisted chunks — O(rays x cap)
+    instead of O(rays x chunks). At hit-heavy 1080p widths the interval
+    shortlist means ~16 of 334 chunks/tile, so the refinement is ~4-5x
+    cheaper than the full-table slab sweep at identical output (the interval
+    mask is a conservative superset, so gating by it drops nothing; a tile
+    whose shortlist overflows the cap keeps its un-refined tail). Tile
+    BLOCKS stream through lax.map (EXACT_MASK_BLOCK_TILES per step) to bound
+    the (rays, cap) temporaries.
 
     Never excludes a chunk any lane's forward half-line enters (triangle ⊂
     chunk AABB ⇒ any triangle hit implies a slab hit). Same compacted-list
@@ -443,6 +454,12 @@ def _chunk_mask_exact(ro, rd, lo, hi, nt):
     also sharpens the kernel's front-to-back early exit.
     """
     m = lo.shape[0]
+    k = min(EXACT_GATE_CAP, m)
+    ids_i, entry_i, counts_i = _chunk_mask(ro, rd, lo, hi, nt)
+    ids_i = ids_i[:, 0, :]                   # (nt, M) front-to-back chunk ids
+    entry_i = entry_i[:, 0, :]               # (nt, M) interval entry bounds
+    counts_i = counts_i[:, 0, 0]             # (nt,)
+
     bt = min(EXACT_MASK_BLOCK_TILES, nt)
     nb = -(-nt // bt)
     pad_t = nb * bt - nt
@@ -450,31 +467,64 @@ def _chunk_mask_exact(ro, rd, lo, hi, nt):
         ro = jnp.concatenate([ro, jnp.full((pad_t * LANES, 3), PARK_DISTANCE,
                                            ro.dtype)])
         rd = jnp.concatenate([rd, jnp.ones((pad_t * LANES, 3), rd.dtype)])
+    cand = ids_i[:, :k]                                        # (nt, k)
+    lo_c = lo[cand]                                            # (nt, k, 3)
+    hi_c = hi[cand]
+    cnt = jnp.minimum(counts_i, k)
+    if pad_t:
+        lo_c = jnp.concatenate([lo_c, jnp.zeros((pad_t, k, 3), lo_c.dtype)])
+        hi_c = jnp.concatenate([hi_c, jnp.zeros((pad_t, k, 3), hi_c.dtype)])
+        cnt = jnp.concatenate([cnt, jnp.zeros((pad_t,), cnt.dtype)])
 
     def block(args):
-        ro_b, rd_b = args                                      # (bt*LANES, 3)
+        ro_b, rd_b, lo_b, hi_b, cnt_b = args   # (bt*LANES,3) x2, (bt,k,3) x2, (bt,)
         inv = jnp.where(rd_b != 0.0, 1.0 / jnp.where(rd_b != 0.0, rd_b, 1.0), BIG)
-        live = ro_b[:, 0] != PARK_DISTANCE                     # (bt*LANES,)
-        tn = jnp.zeros((ro_b.shape[0], m), jnp.float32)        # entry ≥ 0
-        tf = jnp.full((ro_b.shape[0], m), BIG, jnp.float32)
+        live = (ro_b[:, 0] != PARK_DISTANCE).reshape(bt, LANES)
+        ro_t = ro_b.reshape(bt, LANES, 3)
+        inv_t = inv.reshape(bt, LANES, 3)
+        tn = jnp.zeros((bt, LANES, k), jnp.float32)            # entry ≥ 0
+        tf = jnp.full((bt, LANES, k), BIG, jnp.float32)
         for ax in range(3):
-            t1 = (lo[None, :, ax] - ro_b[:, None, ax]) * inv[:, None, ax]
-            t2 = (hi[None, :, ax] - ro_b[:, None, ax]) * inv[:, None, ax]
+            t1 = ((lo_b[:, None, :, ax] - ro_t[:, :, None, ax])
+                  * inv_t[:, :, None, ax])
+            t2 = ((hi_b[:, None, :, ax] - ro_t[:, :, None, ax])
+                  * inv_t[:, :, None, ax])
             tn = jnp.maximum(tn, jnp.minimum(t1, t2))
             tf = jnp.minimum(tf, jnp.maximum(t1, t2))
         # small relative pad so f32 rounding can't drop a grazing chunk
-        hit = (tf * (1.0 + 1e-6) + 1e-6 >= tn) & live[:, None]  # (R_b, M)
-        hit_t = hit.reshape(bt, LANES, m)
-        mask_b = jnp.any(hit_t, axis=1)                        # (bt, M)
-        entry_b = jnp.min(jnp.where(hit_t, tn.reshape(bt, LANES, m), jnp.inf),
-                          axis=1)                              # (bt, M)
+        hit = ((tf * (1.0 + 1e-6) + 1e-6 >= tn) & live[:, :, None]
+               & (jnp.arange(k)[None, None, :] < cnt_b[:, None, None]))
+        mask_b = jnp.any(hit, axis=1)                          # (bt, k)
+        entry_b = jnp.min(jnp.where(hit, tn, jnp.inf), axis=1)
         return mask_b, jnp.where(mask_b, entry_b, 0.0)
 
-    mask, entry = lax.map(block, (ro.reshape(nb, bt * LANES, 3),
-                                  rd.reshape(nb, bt * LANES, 3)))
-    mask = mask.reshape(nb * bt, m)[:nt]
-    entry = entry.reshape(nb * bt, m)[:nt]
-    return _compact_front_to_back(mask, entry)
+    mask_k, entry_k = lax.map(block, (ro.reshape(nb, bt * LANES, 3),
+                                      rd.reshape(nb, bt * LANES, 3),
+                                      lo_c.reshape(nb, bt, k, 3),
+                                      hi_c.reshape(nb, bt, k, 3),
+                                      cnt.reshape(nb, bt)))
+    mask_k = mask_k.reshape(nb * bt, k)[:nt]
+    entry_k = entry_k.reshape(nb * bt, k)[:nt]
+
+    # assemble position-space mask/entry over the interval list: positions
+    # < k are the per-ray-refined verdicts; k <= pos < count is the
+    # conservative un-refined interval tail
+    pos = jnp.arange(ids_i.shape[1], dtype=jnp.int32)[None, :]
+    tail = (pos >= k) & (pos < counts_i[:, None])
+    mask = jnp.concatenate(
+        [mask_k, jnp.zeros((nt, ids_i.shape[1] - k), bool)], axis=1) | tail
+    entry = jnp.where(
+        pos < k,
+        jnp.concatenate([entry_k, jnp.zeros((nt, ids_i.shape[1] - k),
+                                            jnp.float32)], axis=1),
+        entry_i)
+    # re-compact front-to-back (same variadic-sort shape as
+    # _compact_front_to_back, but ids are the gathered chunk ids, not arange)
+    key = jnp.where(mask, entry, jnp.inf)
+    _, ids_out, entry_out = lax.sort((key, ids_i, jnp.where(mask, entry, 0.0)),
+                                     dimension=1, num_keys=1, is_stable=True)
+    counts = jnp.sum(mask, axis=1, dtype=jnp.int32)
+    return ids_out[:, None, :], entry_out[:, None, :], counts[:, None, None]
 
 
 class AccelPack:

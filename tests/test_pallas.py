@@ -110,6 +110,86 @@ def test_pallas_render_matches_chunked_image(reference_assets):
     assert (err > 1e-3).mean() <= 0.01, f"max {err.max()}, frac {(err > 1e-3).mean()}"
 
 
+def _full_slab_reference(ro, rd, lo, hi, nt):
+    """Un-gated per-ray slab mask (the pre-gating exact-mask algorithm):
+    every (ray, chunk) pair tested, OR-reduced per tile. The gated two-level
+    mask must reproduce this wherever the interval shortlist fits the cap."""
+    from realtrace_tpu.core.types import PARK_DISTANCE
+    from realtrace_tpu.ops.intersect import BIG
+    ro = np.asarray(ro, np.float32)
+    rd = np.asarray(rd, np.float32)
+    lo = np.asarray(lo, np.float32)
+    hi = np.asarray(hi, np.float32)
+    inv = np.where(rd != 0.0, 1.0 / np.where(rd != 0.0, rd, 1.0), float(BIG))
+    live = ro[:, 0] != PARK_DISTANCE
+    tn = np.zeros((ro.shape[0], lo.shape[0]), np.float32)
+    tf = np.full((ro.shape[0], lo.shape[0]), float(BIG), np.float32)
+    for ax in range(3):
+        t1 = (lo[None, :, ax] - ro[:, None, ax]) * inv[:, None, ax]
+        t2 = (hi[None, :, ax] - ro[:, None, ax]) * inv[:, None, ax]
+        tn = np.maximum(tn, np.minimum(t1, t2))
+        tf = np.minimum(tf, np.maximum(t1, t2))
+    hit = (tf * (1.0 + 1e-6) + 1e-6 >= tn) & live[:, None]
+    return hit.reshape(nt, trace.LANES, -1).any(axis=1)      # (nt, M)
+
+
+def _mask_sets(chunk_list, counts):
+    cl = np.asarray(chunk_list)[:, 0, :]
+    cn = np.asarray(counts)[:, 0, 0]
+    return [set(cl[i, :cn[i]].tolist()) for i in range(cl.shape[0])]
+
+
+def test_gated_exact_mask_matches_full_slab():
+    """The two-level (interval-gated) exact mask must equal the full per-ray
+    slab mask when shortlists fit EXACT_GATE_CAP, and be conservative (a
+    superset) otherwise; entries must be valid lower bounds (sorted)."""
+    scene = random_scene(n=512, spread=2.0)
+    cfg = RenderConfig(accel="pallas", chunk_size=32)
+    scene = accel.with_chunks(scene, cfg)
+    pack = trace.build_pack(scene, cfg)
+    ro, rd = random_rays(r=2 * trace.LANES, seed=7)
+    nt = 2
+    ids, entry, counts = trace._chunk_mask_exact(ro, rd, pack.lo, pack.hi, nt)
+    got = _mask_sets(ids, counts)
+    want = _full_slab_reference(ro, rd, pack.lo, pack.hi, nt)
+    m = pack.lo.shape[0]
+    ids_i, _, counts_i = trace._chunk_mask(ro, rd, pack.lo, pack.hi, nt)
+    cnt_i = np.asarray(counts_i)[:, 0, 0]
+    for i in range(nt):
+        ref = set(np.nonzero(want[i])[0].tolist())
+        if cnt_i[i] <= trace.EXACT_GATE_CAP:
+            assert got[i] == ref, f"tile {i}: gated != full slab"
+        else:
+            assert got[i] >= ref, f"tile {i}: gated mask dropped a chunk"
+    # entries sorted ascending over the live prefix (the kernel's early-exit
+    # contract: entry[j] bounds every later chunk)
+    e = np.asarray(entry)[:, 0, :]
+    cn = np.asarray(counts)[:, 0, 0]
+    for i in range(nt):
+        live = e[i, :cn[i]]
+        assert np.all(np.diff(live) >= 0)
+
+
+def test_gated_exact_mask_overflow_tail_conservative():
+    """With a tiny gate cap every interval chunk past the cap must survive
+    un-refined (conservative tail), so exactness is cap-independent."""
+    scene = random_scene(n=512, spread=2.0)
+    cfg = RenderConfig(accel="pallas", chunk_size=32)
+    scene = accel.with_chunks(scene, cfg)
+    pack = trace.build_pack(scene, cfg)
+    ro, rd = random_rays(r=trace.LANES, seed=13)
+    saved = trace.EXACT_GATE_CAP
+    try:
+        trace.EXACT_GATE_CAP = 2
+        ids, _, counts = trace._chunk_mask_exact(ro, rd, pack.lo, pack.hi, 1)
+    finally:
+        trace.EXACT_GATE_CAP = saved
+    got = _mask_sets(ids, counts)[0]
+    want = set(np.nonzero(
+        _full_slab_reference(ro, rd, pack.lo, pack.hi, 1)[0])[0].tolist())
+    assert got >= want
+
+
 def test_pallas_streaming_path_matches(monkeypatch):
     """Force the HBM-streaming variant (big-scene path) and check it agrees."""
     monkeypatch.setattr(trace, "RESIDENT_LIMIT", 0)
