@@ -95,15 +95,19 @@ def build_chunk_perm(tri_vertices, chunk_size: int) -> np.ndarray:
 def with_chunks(scene: Scene, cfg: RenderConfig) -> Scene:
     """Attach the chunk permutation to the scene (stored as an int32 leaf).
 
-    Uses the ON-DEVICE Morton build (one jitted argsort) — scene arrays
-    already live on the accelerator, and pulling vertices back to the host
-    (the old numpy build) costs a device->host transfer on a path that the
-    remote-TPU tunnel makes expensive. ``build_chunk_perm`` remains as the
-    host/numpy reference implementation (tests compare the two).
+    Uses the ON-DEVICE median-split build (one jitted stable argsort per
+    bisection level) — scene arrays already live on the accelerator, and
+    pulling vertices back to the host costs a device->host transfer on a
+    path that the remote-TPU tunnel makes expensive.
+    ``build_chunk_perm_split`` is the host/numpy reference implementation;
+    ``build_chunk_perm``/``chunk_perm_device`` keep the older Morton
+    ordering (any ordering is correct — see ``_sorted_chunks`` — but the
+    nested bisection's chunk AABBs are ~2.6x smaller by surface area on bob,
+    so every sweep lists fewer chunks; benchmarks/exp_split_build.py).
     """
     if scene.n_triangles == 0:
         return scene.replace(tri_chunk_perm=jnp.zeros((0,), jnp.int32))
-    perm = jax.jit(chunk_perm_device, static_argnums=1)(
+    perm = jax.jit(chunk_perm_split_device, static_argnums=1)(
         scene.tri_vertices, cfg.chunk_size)
     return scene.replace(tri_chunk_perm=perm)
 
@@ -151,11 +155,99 @@ def resort_chunks(scene: Scene, cfg: RenderConfig) -> Scene:
     """Rebuild the chunk ordering from the CURRENT vertices, on device.
 
     Safe to call inside jit/grad (topology-only, stop-gradient). Cheap — a
-    10k-element argsort is noise next to a frame — so geometry-optimizing
-    train loops can simply re-sort every step.
+    handful of 10k-element argsorts is noise next to a frame — so
+    geometry-optimizing train loops can simply re-sort every step.
     """
     return scene.replace(
-        tri_chunk_perm=chunk_perm_device(scene.tri_vertices, cfg.chunk_size))
+        tri_chunk_perm=chunk_perm_split_device(scene.tri_vertices,
+                                               cfg.chunk_size))
+
+
+def build_chunk_perm_split(tri_vertices, chunk_size: int) -> np.ndarray:
+    """Balanced recursive median split on chunk boundaries (host reference).
+
+    Split the (padded) triangle set by centroid along the longest axis of
+    the current group's centroid extent; the left part gets floor(k/2)
+    chunks (k = group size in chunks), so every leaf is a contiguous
+    ``chunk_size`` run of the returned permutation. Nested bisection keeps
+    chunk AABBs disjoint-ish and tight — unlike a Morton sort, whose
+    Z-order boundary jumps make straddling chunks (~2.6x the total AABB
+    surface area on bob; benchmarks/exp_split_build.py).
+    """
+    tv = np.asarray(tri_vertices, np.float64)
+    n = tv.shape[0]
+    if n == 0:
+        return np.zeros((0,), np.int32)
+    cent = tv.mean(axis=1).astype(np.float32)
+    ids = np.arange(n)
+    pad = (-n) % chunk_size
+    if pad:
+        ids = np.concatenate([ids, np.repeat(ids[-1], pad)])
+    out = []
+
+    def rec(g):
+        k = len(g) // chunk_size
+        if k <= 1:
+            out.append(g)
+            return
+        c = cent[g]
+        ax = int(np.argmax(c.max(0) - c.min(0)))
+        order = np.argsort(c[:, ax], kind="stable")
+        nl = (k // 2) * chunk_size
+        rec(g[order[:nl]])
+        rec(g[order[nl:]])
+
+    rec(ids)
+    return np.concatenate(out).astype(np.int32)
+
+
+def chunk_perm_split_device(tri_vertices: Array, chunk_size: int) -> Array:
+    """jit-compatible median-split chunk permutation (device build).
+
+    Level-synchronous formulation of ``build_chunk_perm_split``: each
+    bisection level runs as ONE stable argsort over the whole array with a
+    composite key ``group_index + normalized_coord`` (group boundaries are
+    static — sizes depend only on the triangle count), so the build is
+    ~log2(n_chunks) argsorts of n elements. Same shape-static padding
+    contract as ``chunk_perm_device``.
+    """
+    tv = lax.stop_gradient(tri_vertices)
+    n = tv.shape[0]
+    if n == 0:
+        return jnp.zeros((0,), jnp.int32)
+    cent_all = tv.mean(axis=1).astype(jnp.float32)
+    ids = jnp.arange(n, dtype=jnp.int32)
+    pad = (-n) % chunk_size
+    if pad:
+        ids = jnp.concatenate([ids, jnp.broadcast_to(ids[-1], (pad,))])
+    m = ids.shape[0] // chunk_size
+    groups = [(0, m)]                       # (start_chunk, size_chunks)
+    while max(k for _, k in groups) > 1:
+        cent = cent_all[ids]                # (Np, 3) in current order
+        key = jnp.zeros((ids.shape[0],), jnp.float32)
+        new_groups = []
+        for gi, (s, k) in enumerate(groups):
+            a, b = s * chunk_size, (s + k) * chunk_size
+            if k <= 1:
+                key = key.at[a:b].set(float(gi))
+                new_groups.append((s, k))
+                continue
+            seg = cent[a:b]
+            ext = seg.max(axis=0) - seg.min(axis=0)
+            ax = jnp.argmax(ext)
+            coord = jnp.where(ax == 0, seg[:, 0],
+                              jnp.where(ax == 1, seg[:, 1], seg[:, 2]))
+            cmin = coord.min()
+            cext = jnp.maximum(coord.max() - cmin, 1e-30)
+            norm = jnp.clip((coord - cmin) / cext, 0.0, 1.0) * 0.999
+            key = key.at[a:b].set(gi + norm)
+            nl = k // 2
+            new_groups.append((s, nl))
+            new_groups.append((s + nl, k - nl))
+        order = jnp.argsort(key, stable=True)
+        ids = ids[order]
+        groups = new_groups
+    return ids.astype(jnp.int32)
 
 
 def chunk_volume(scene: Scene, cfg: RenderConfig) -> Array:

@@ -83,6 +83,49 @@ def test_device_perm_matches_host_perm():
     np.testing.assert_allclose(v_dev, v_host, rtol=0.05)
 
 
+def _chunk_surface_area(tv, perm, chunk_size):
+    tvc = np.asarray(tv, np.float64)[np.asarray(perm)].reshape(-1, chunk_size, 3, 3)
+    d = tvc.max(axis=(1, 2)) - tvc.min(axis=(1, 2))
+    return float((d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 0] * d[:, 2]).sum())
+
+
+def test_split_perm_valid_and_tighter_than_morton():
+    """The median-split build must (a) be a valid padded permutation on both
+    host and device, (b) agree host-vs-device on partition quality, and
+    (c) produce tighter chunk AABBs than the Morton sort (the reason it is
+    the default build)."""
+    scene = random_tri_scene(500, seed=5)
+    for c in (32, 64):
+        host = accel.build_chunk_perm_split(scene.tri_vertices, c)
+        dev = np.asarray(accel.chunk_perm_split_device(scene.tri_vertices, c))
+        assert host.shape == dev.shape == ((500 + c - 1) // c * c,)
+        # every original id present (padding duplicates may land anywhere in
+        # the split order — duplicates give identical nearest hits)
+        assert set(host.tolist()) == set(range(500))
+        assert set(dev.tolist()) == set(range(500))
+        a_host = _chunk_surface_area(scene.tri_vertices, host, c)
+        a_dev = _chunk_surface_area(scene.tri_vertices, dev, c)
+        np.testing.assert_allclose(a_dev, a_host, rtol=1e-3)
+        a_morton = _chunk_surface_area(
+            scene.tri_vertices, accel.build_chunk_perm(scene.tri_vertices, c), c)
+        assert a_host < a_morton, (a_host, a_morton)
+
+
+def test_split_perm_render_matches_bruteforce(reference_assets):
+    """End-to-end: the default (split) build through the pallas path must
+    reproduce the brute-force image (ordering never affects correctness)."""
+    scene, cam = scenes.serial_obj_scene(reference_assets / "tetrahedron.obj",
+                                         dtype=jnp.float32)
+    cfg_b = RenderConfig(accel="bruteforce", max_depth=2)
+    cfg_p = dataclasses.replace(cfg_b, accel="pallas", chunk_size=8)
+    scene_p = accel.with_chunks(scene, cfg_p)   # default = split build
+    camera = scenes.make_camera(cam, 32, 32, dtype=jnp.float32)
+    img_b = np.asarray(render_image(scene, camera, cfg_b))
+    img_p = np.asarray(render_image(scene_p, camera, cfg_p))
+    err = np.abs(img_b - img_p).max(axis=-1)
+    assert (err > 1e-3).mean() <= 0.01, f"max {err.max()}"
+
+
 def test_on_device_resort_restores_tightness_and_exactness():
     """Moving geometry (inverse rendering of vertices) invalidates the Morton
     ordering; the on-device re-sort must restore chunk tightness while hits
