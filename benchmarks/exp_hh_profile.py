@@ -58,20 +58,21 @@ def main():
     with open(out, mode) as fh:
         fh.write(data)
     print("wrote", out)
+    # gviz table format: {"cols": [...], "rows": [{"c": [{"v": ...}, ...]}]}
+    # columns (xprof hlo_stats): 2=HLO category, 3=HLO op name,
+    # 6=occurrences, 9=total self time (us)
     d = json.loads(data)
-    rows = d["data"] if isinstance(d, dict) else d
-    # tool emits a list of row dicts; rank by total self time
-    try:
-        rows = sorted(rows, key=lambda r: -float(r.get("total_self_time_us",
-                                                       r.get("selfTimeUs", 0))))
-        for r in rows[:40]:
-            t = float(r.get("total_self_time_us", r.get("selfTimeUs", 0)))
-            name = (r.get("hlo_op_expression") or r.get("name")
-                    or r.get("hloOpName", "?"))[:110]
-            cat = r.get("hlo_category", r.get("category", "?"))
-            print(f"{t/3/1000.0:9.2f} ms/frame  {cat:24s} {name}")
-    except Exception as e:
-        print("rank failed:", e, "— inspect the JSON by hand")
+    rows = [[c.get("v") for c in r["c"]] for r in d["rows"]]
+    import collections
+    bycat = collections.Counter()
+    for r in rows:
+        bycat[r[2]] += r[9]
+    print(f"TOTAL self: {sum(bycat.values())/3/1000:.1f} ms/frame")
+    for cat, us in bycat.most_common(10):
+        print(f"{us/3/1000.0:9.2f} ms/frame  {cat}")
+    rows.sort(key=lambda r: -r[9])
+    for r in rows[:30]:
+        print(f"{r[9]/3/1000.0:8.2f} ms/frame  x{r[6]:<4} {r[2]:<20} {str(r[3])[:60]}")
 
 
 if __name__ == "__main__":

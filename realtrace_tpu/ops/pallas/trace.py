@@ -118,17 +118,23 @@ def _reduce_update(p, best_t, best_i, m, c, det_eps, t_min, any_mode):
     the (C, LANES) reciprocal, and a single OR-reduce replaces min+argmin —
     occlusion only needs "any valid row". (Products of f32s compared to 0
     match the divided forms except when |num| < ~1e-31 underflows — grazing
-    cases far below the scene epsilons.)"""
+    cases far below the scene epsilons. The degenerate-det cutoff is det² >=
+    eps² — equivalent to |det| >= eps up to one rounding of det², with det²
+    underflow only strengthening a rejection that |det| < 1e-19 « eps
+    already earns.) The beta+gamma test reuses the bnum·det / gnum·det
+    products: (bnum+gnum)·det = m1 + m2."""
     det, tnum = p[0:c], p[c:2 * c]
     bnum, gnum = p[2 * c:3 * c], p[3 * c:4 * c]
-    ok = jnp.abs(det) >= det_eps
     if any_mode:
         det2 = det * det
-        valid = (ok & (bnum * det > 0.0) & (gnum * det > 0.0)
-                 & ((bnum + gnum) * det < det2)
+        m1 = bnum * det
+        m2 = gnum * det
+        valid = ((det2 >= det_eps * det_eps) & (m1 > 0.0) & (m2 > 0.0)
+                 & (m1 + m2 < det2)
                  & (tnum * det > t_min * det2))
         occ = jnp.any(valid, axis=0, keepdims=True)   # (1, LANES)
         return best_t, jnp.where(occ, m * c, best_i)
+    ok = jnp.abs(det) >= det_eps
     invd = 1.0 / jnp.where(ok, det, 1.0)
     t = tnum * invd
     beta = bnum * invd
@@ -192,10 +198,13 @@ def _kernel_resident(meta_ref, list_ref, count_ref, entry_ref, feat_ref, b_ref,
         best_t, best_i = _reduce_update(p, best_t, best_i, m, c, det_eps,
                                         t_min, any_mode)
         nj = j + 1
-        jc = jnp.minimum(nj, n - 1)
-        go = (nj < n) & (entry_ref[0, 0, jc] <= _live_max_t(best_t, parked))
         if any_mode:
-            go = go & ~jnp.all(parked | (best_i >= 0))
+            # any-mode never updates best_t, so the front-to-back entry
+            # bound can't trigger — only the all-occluded exit applies
+            go = (nj < n) & ~jnp.all(parked | (best_i >= 0))
+        else:
+            jc = jnp.minimum(nj, n - 1)
+            go = (nj < n) & (entry_ref[0, 0, jc] <= _live_max_t(best_t, parked))
         return go, nj, best_t, best_i
 
     init = (n > 0, jnp.zeros((), n.dtype),
@@ -257,10 +266,12 @@ def _kernel_stream(meta_ref, list_ref, count_ref, entry_ref, feat_ref, b_ref,
         best_t, best_i = _reduce_update(p, best_t, best_i, m, c, det_eps,
                                         t_min, any_mode)
         nj = j + 1
-        jc = jnp.minimum(nj, n - 1)
-        go = (nj < n) & (entry_ref[0, 0, jc] <= _live_max_t(best_t, parked))
         if any_mode:
-            go = go & ~jnp.all(parked | (best_i >= 0))
+            # any-mode never updates best_t — only the all-occluded exit
+            go = (nj < n) & ~jnp.all(parked | (best_i >= 0))
+        else:
+            jc = jnp.minimum(nj, n - 1)
+            go = (nj < n) & (entry_ref[0, 0, jc] <= _live_max_t(best_t, parked))
         return go, nj, best_t, best_i
 
     init = (n > 0, jnp.zeros((), n.dtype),
