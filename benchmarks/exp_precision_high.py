@@ -5,6 +5,10 @@ HIGHEST (6-pass, f32-true). HIGH was never tested. This runs the closest
 and any-mode queries over the REAL primary + shadow wavefronts of both
 bench framings at HIGHEST vs HIGH, compares (t, idx, occlusion) bitwise,
 and times the frame at each setting. Run on TPU.
+
+RESULT (round 3): DEAD END — Mosaic rejects HIGH ("Unsupported dot
+precision: HIGH" from the pallas lowering); only DEFAULT and HIGHEST
+exist inside the kernel, and DEFAULT flips hits (round 2). HIGHEST stays.
 """
 from __future__ import annotations
 
