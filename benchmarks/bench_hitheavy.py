@@ -5,8 +5,9 @@ bob); this config is the throughput number that cannot lean on cheap
 background lanes. Runs bench.py with the hit-heavy camera enabled and a
 small repeat count (frames are ~10x slower than the headline).
 
-Usage: python benchmarks/bench_hitheavy.py   (TPU; prints two JSON lines,
-hit-heavy first, headline last)
+Usage: python benchmarks/bench_hitheavy.py   (TPU; headline measured and
+emitted first, hit-heavy second, headline re-emitted last — same order as
+plain bench.py, which now runs the hit-heavy leg by default anyway)
 """
 from __future__ import annotations
 

@@ -40,9 +40,10 @@ from jax.experimental.pallas import tpu as pltpu
 from realtrace_tpu.core.types import PARK_DISTANCE, RenderConfig, Scene
 from realtrace_tpu.ops.intersect import BIG
 
-LANES = 1024          # default rays per kernel grid step (cfg.kernel_lanes
-                      # overrides: per-step fixed cost ~6.5us dominates the
-                      # ~1us chunk matmuls, so wider steps amortize it)
+LANES = 1024          # rays per kernel grid step. Wider steps (2048/4096)
+                      # measured NO win: the sweep is epilogue-bound, not
+                      # launch-bound, and 2-tile chunk-list unions grow the
+                      # visit count (docs/KERNEL.md round-2 findings)
 FEAT = 16             # feature rows: [1, ro(3), rd(3), q(3), inv(3), pad(3)]
 FEAT_PAD = 128        # K pad for the streaming path's DMA alignment
 RESIDENT_LIMIT = 6 * 1024 * 1024  # max B bytes kept VMEM-resident
