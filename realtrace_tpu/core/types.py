@@ -104,6 +104,13 @@ class Scene:
     # acceleration: Morton chunk permutation (topology-only, built by
     # ops.accel.with_chunks — the uniform-grid-build analog, SURVEY §7 step 4)
     tri_chunk_perm: Array | None = None
+    # STATIC build-time dielectric flag (pytree aux data, like width/height on
+    # Camera): lets ``branching=None`` resolve inside jit without touching
+    # concrete leaf values. Set by SceneBuilder.build(); ``replace()`` of
+    # material leaves keeps the build-time value (the wavefront branching
+    # mode must be trace-static anyway). None → fall back to the dynamic
+    # host-side inspection.
+    dielectric: bool | None = struct.field(pytree_node=False, default=None)
 
     @property
     def n_triangles(self) -> int:
@@ -126,14 +133,17 @@ class Scene:
         return self.tri_vertices.dtype
 
     def has_dielectrics(self) -> bool:
-        """Static-ish check used to pick the wavefront branching mode.
+        """Static check used to pick the wavefront branching mode.
 
-        WARNING: pulls concrete values (np.asarray on leaves) — it is a
-        host-side scene inspection, NOT traceable. Calling it on a traced
-        Scene (inside jit/grad/vmap) raises a TracerArrayConversionError.
-        Every in-tree caller runs it pre-jit; if you wrap scene construction
-        in jit, pass ``branching=`` explicitly instead.
+        Scenes built through ``SceneBuilder.build()`` carry the answer as
+        static aux data (``dielectric``), so this is jit-safe for them — it
+        never touches leaf values. For hand-assembled Scenes (flag None) it
+        falls back to a host-side inspection of concrete values, which
+        raises a TracerArrayConversionError on traced leaves — pass
+        ``branching=`` explicitly in that case.
         """
+        if self.dielectric is not None:
+            return self.dielectric
         mats = [self.tri_materials, self.sph_materials, self.pln_materials, self.cyl_materials]
         for m in mats:
             kr = np.asarray(m.kr)
@@ -204,6 +214,11 @@ class SceneBuilder:
 
     def build(self) -> Scene:
         dt = self.dtype
+        # concrete at build time (python floats) → record the branching mode
+        # statically so has_dielectrics() stays jit-safe downstream
+        diel = any(m["kr"] > 0 and m["kt"] > 0 for m in
+                   ([t[2] for t in self._tris] + [s[3] for s in self._sphs]
+                    + [p[2] for p in self._plns] + [c[4] for c in self._cyls]))
         tv = jnp.asarray(np.array([t[0] for t in self._tris]).reshape(-1, 3, 3), dt)
         tc = jnp.asarray(np.array([t[1] for t in self._tris]).reshape(-1, 3, 3), dt)
         sc = jnp.asarray(np.array([s[0] for s in self._sphs]).reshape(-1, 3), dt)
@@ -224,6 +239,7 @@ class SceneBuilder:
             cyl_center=cc, cyl_up=cu, cyl_radius=cr, cyl_color=ccol, cyl_materials=self._mats([c[4] for c in self._cyls]),
             lights=Lights(position=lp, intensity=li),
             ambient=jnp.asarray(self.ambient, dt), background=jnp.asarray(self.background, dt),
+            dielectric=diel,
         )
 
 

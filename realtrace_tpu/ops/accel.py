@@ -204,12 +204,18 @@ def build_chunk_perm_split(tri_vertices, chunk_size: int) -> np.ndarray:
 def chunk_perm_split_device(tri_vertices: Array, chunk_size: int) -> Array:
     """jit-compatible median-split chunk permutation (device build).
 
-    Level-synchronous formulation of ``build_chunk_perm_split``: each
-    bisection level runs as ONE stable argsort over the whole array with a
-    composite key ``group_index + normalized_coord`` (group boundaries are
-    static — sizes depend only on the triangle count), so the build is
-    ~log2(n_chunks) argsorts of n elements. Same shape-static padding
-    contract as ``chunk_perm_device``.
+    Level-synchronous formulation of ``build_chunk_perm_split``: group
+    boundaries are STATIC (sizes depend only on the triangle count), so each
+    bisection level is a handful of whole-array ops — per-group extent /
+    min / max via ``jax.ops.segment_*`` over a static segment-id array, then
+    ONE two-key variadic ``lax.sort`` on ``(group_id, coordinate)``. The
+    build is ~log2(n_chunks) sorts of n elements with O(1) HLO ops per level
+    (the former per-group ``.at[a:b].set`` loop unrolled O(n_chunks) scatters
+    per level — a trace/compile-time balloon for large scenes), and the
+    integer major key keeps coordinate resolution independent of group count
+    (a float32 composite ``gi + norm`` key quantizes the coordinate once
+    groups reach ~2^15). Same shape-static padding contract as
+    ``chunk_perm_device``.
     """
     tv = lax.stop_gradient(tri_vertices)
     n = tv.shape[0]
@@ -220,32 +226,31 @@ def chunk_perm_split_device(tri_vertices: Array, chunk_size: int) -> Array:
     pad = (-n) % chunk_size
     if pad:
         ids = jnp.concatenate([ids, jnp.broadcast_to(ids[-1], (pad,))])
-    m = ids.shape[0] // chunk_size
+    npad = ids.shape[0]
+    m = npad // chunk_size
     groups = [(0, m)]                       # (start_chunk, size_chunks)
     while max(k for _, k in groups) > 1:
-        cent = cent_all[ids]                # (Np, 3) in current order
-        key = jnp.zeros((ids.shape[0],), jnp.float32)
-        new_groups = []
+        g = len(groups)
+        seg_np = np.empty((npad,), np.int32)       # static: position -> group
         for gi, (s, k) in enumerate(groups):
-            a, b = s * chunk_size, (s + k) * chunk_size
+            seg_np[s * chunk_size:(s + k) * chunk_size] = gi
+        seg = jnp.asarray(seg_np)
+        cent = cent_all[ids]                       # (Np, 3) in current order
+        ext = (jax.ops.segment_max(cent, seg, num_segments=g)
+               - jax.ops.segment_min(cent, seg, num_segments=g))   # (G, 3)
+        ax = jnp.argmax(ext, axis=1)                                # (G,)
+        coord = jnp.take_along_axis(cent, ax[seg][:, None], axis=1)[:, 0]
+        # no per-group normalization needed: the group id is its own sort key
+        _, _, ids = lax.sort((seg, coord, ids), dimension=0, num_keys=2,
+                             is_stable=True)
+        new_groups = []
+        for s, k in groups:
             if k <= 1:
-                key = key.at[a:b].set(float(gi))
                 new_groups.append((s, k))
-                continue
-            seg = cent[a:b]
-            ext = seg.max(axis=0) - seg.min(axis=0)
-            ax = jnp.argmax(ext)
-            coord = jnp.where(ax == 0, seg[:, 0],
-                              jnp.where(ax == 1, seg[:, 1], seg[:, 2]))
-            cmin = coord.min()
-            cext = jnp.maximum(coord.max() - cmin, 1e-30)
-            norm = jnp.clip((coord - cmin) / cext, 0.0, 1.0) * 0.999
-            key = key.at[a:b].set(gi + norm)
-            nl = k // 2
-            new_groups.append((s, nl))
-            new_groups.append((s + nl, k - nl))
-        order = jnp.argsort(key, stable=True)
-        ids = ids[order]
+            else:
+                nl = k // 2
+                new_groups.append((s, nl))
+                new_groups.append((s + nl, k - nl))
         groups = new_groups
     return ids.astype(jnp.int32)
 

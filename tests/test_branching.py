@@ -38,6 +38,31 @@ def _trace_with_stats(scene, cam_dict, cfg, w, h):
     return np.asarray(img), float(stats["dropped_children_coeff"])
 
 
+def test_has_dielectrics_is_jit_safe_for_built_scenes():
+    """Scenes from SceneBuilder.build() carry the branching mode as STATIC
+    aux data, so ``branching=None`` resolution works on a TRACED Scene —
+    the round-3 footgun (np.asarray of traced leaves inside jit) is gone."""
+    import jax
+
+    from realtrace_tpu.render.pipeline import render_image
+
+    for make, expect in ((scenes.full_primitive_scene, True),
+                         (scenes.sphere_plane_scene, False)):
+        scene, cam = make(dtype=DT)
+        assert scene.dielectric is expect
+        camera = scenes.make_camera(cam, 16, 8, dtype=DT)
+
+        @jax.jit
+        def frame(s, c):
+            # no branching= passed: resolved from the traced Scene's flag
+            return render_image(s, c, RenderConfig(max_depth=2))
+
+        eager = render_image(scene, camera, RenderConfig(max_depth=2),
+                             branching=expect)
+        np.testing.assert_allclose(np.asarray(frame(scene, camera)),
+                                   np.asarray(eager), rtol=1e-12, atol=1e-12)
+
+
 def test_ordinary_dielectric_scene_has_no_overflow():
     scene, cam = scenes.full_primitive_scene(dtype=DT)
     assert scene.has_dielectrics()
