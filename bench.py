@@ -9,10 +9,15 @@ wavefront rays, as accumulated by the wavefront scan itself.
 Default output (in order; the HEADLINE stays the LAST line for the driver):
   1. hit-heavy forward Mrays/s (camera (0,6,14): ~60% of pixels hit bob, so
      the number can't lean on cheap background lanes)
-  2. backward/forward time ratio at the flagship config
-  3. streaming/resident frame-time ratio on bob x2 (HBM-streaming kernel
+  2. backward/forward time ratio at the flagship config — headline framing
+     AND the hit-heavy framing (where the remat residuals are ~4x larger)
+  3. full train-step time (grad wrt verts+colors+materials+lights + adam +
+     per-step device chunk re-sort — BASELINE config 4 at 1080p)
+  4. streaming/resident frame-time ratio on bob x2 (HBM-streaming kernel
      overhead vs the VMEM-resident table, same scene)
-  4. HEADLINE: forward Mrays/s, 1080p bob_tri.obj depth-3, reference framing
+  5. bob x4 (42.7k tris) — the GENUINE over-VMEM streaming configuration
+  6. depth-10 forward Mrays/s (the reference's RECURSION_DEPTH)
+  7. HEADLINE: forward Mrays/s, 1080p bob_tri.obj depth-3, reference framing
 
 Measurement discipline (CLAUDE.md): the remote-TPU tunnel adds 10-20 ms per
 dispatch, serves IDENTICAL executions from a cache, and intermittently stalls
@@ -25,11 +30,13 @@ never poison the result). All attempt spreads are logged to stderr.
 
 Env knobs: RT_BENCH_WIDTH/HEIGHT/DEPTH/REPEATS, RT_BENCH_ACCEL
 (chunked|bruteforce|pallas), RT_BENCH_CHUNK, RT_BENCH_SMOKE=1 for a tiny CPU
-smoke run (headline only), RT_BENCH_HITHEAVY/GRAD/STREAM=0 to skip a
-secondary metric, RT_BENCH_MIN_ATTEMPTS / RT_BENCH_MAX_ATTEMPTS.
+smoke run (headline only), RT_BENCH_HITHEAVY/GRAD/TRAIN/STREAM/BIG/DEPTH10=0
+to skip a secondary metric, RT_BENCH_MIN_ATTEMPTS / RT_BENCH_MAX_ATTEMPTS,
+RT_JAX_CACHE (persistent compilation cache dir; default .jax_cache).
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 import json
 import os
@@ -137,13 +144,16 @@ def emit(metric: str, value: float, unit: str, vs_baseline=None, **extra):
     print(json.dumps(rec), flush=True)
 
 
-def bench_grad_ratio(scene, camera, cfg, t_fwd: float, reps: int) -> None:
+def bench_grad_ratio(scene, camera, cfg, t_fwd: float, reps: int,
+                     tag: str = "grad", framing: str = "bob") -> None:
     """backward/forward time ratio at the FLAGSHIP config (BASELINE metric 2).
 
     `backward` = value_and_grad of the pixel loss wrt (vertices, colors,
     lights) — the residual-caching rematerialized backward (cfg.remat);
-    `forward` = the headline's measured frame time (same program the grad's
-    forward pass runs). Same fori-loop + attempts protocol.
+    `forward` = the same framing's measured frame time (same program the
+    grad's forward pass runs). Same fori-loop + attempts protocol. Called
+    for BOTH the headline framing and the hit-heavy close framing (the remat
+    residuals — the "sweep"-tagged query results — are ~4x larger there).
     """
     import jax.tree_util as jtu
     from jax import lax
@@ -173,17 +183,90 @@ def bench_grad_ratio(scene, camera, cfg, t_fwd: float, reps: int) -> None:
 
     t0 = time.perf_counter()
     go(1)
-    _log(f"[bench:grad] compile+first: {time.perf_counter() - t0:.1f}s")
+    _log(f"[bench:{tag}] compile+first: {time.perf_counter() - t0:.1f}s")
     go(reps + 1)
-    dt1 = attempts_min(lambda: go(reps + 1), "grad:loop")
-    dt0 = attempts_min(lambda: go(1), "grad:single",
+    dt1 = attempts_min(lambda: go(reps + 1), f"{tag}:loop")
+    dt0 = attempts_min(lambda: go(1), f"{tag}:single",
                        min_attempts=2, max_attempts=6)
     t_bwd = max(dt1 - dt0, 1e-9) / reps
-    _log(f"[bench:grad] fwd {t_fwd*1e3:.1f} ms, value_and_grad {t_bwd*1e3:.1f} ms")
+    _log(f"[bench:{tag}] fwd {t_fwd*1e3:.1f} ms, value_and_grad {t_bwd*1e3:.1f} ms")
     emit(f"backward/forward time ratio {camera.width}x{camera.height} "
-         f"bob depth-{cfg.max_depth} ({cfg.accel})",
+         f"{framing} depth-{cfg.max_depth} ({cfg.accel})",
          t_bwd / t_fwd, "x", None,
          forward_ms=round(t_fwd * 1e3, 2), backward_ms=round(t_bwd * 1e3, 2))
+
+
+def bench_train_step(scene, camera, cfg, reps: int) -> None:
+    """FULL inverse-rendering train-step time at scale: value_and_grad of the
+    pixel loss wrt (vertices, per-vertex colors, materials, lights) + adam
+    update + the ON-DEVICE chunk re-sort every step (``resort=True`` — the
+    accel ordering must track moving vertices; BASELINE config 4 semantics
+    at 1080p instead of the 16x12 CPU test, tests/test_grad.py)."""
+    import optax
+    from jax import lax
+    from realtrace_tpu.diff.inverse import render_loss, scene_params
+
+    h, w = camera.height, camera.width
+    target = jnp.zeros((h * w, 3), jnp.float32)
+    fields = ("tri_vertices", "tri_colors", "tri_materials", "lights")
+    params0 = scene_params(scene, fields)
+    opt = optax.adam(1e-3)
+    opt0 = opt.init(params0)
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def loop(params, opt_state, off, n: int):
+        def body(i, carry):
+            p, o, acc = carry
+            p = {**p, "tri_vertices":
+                 p["tri_vertices"] + (off + i.astype(jnp.float32)) * 1e-12}
+            loss, grads = jax.value_and_grad(render_loss)(
+                p, scene, camera, cfg, target, False, True)
+            upd, o = opt.update(grads, o, p)
+            p = optax.apply_updates(p, upd)
+            return (p, o, acc + loss)
+        _, _, acc = lax.fori_loop(0, n, body, (params, opt_state, jnp.zeros(())))
+        return acc
+
+    seq = iter(range(1, 100000))
+
+    def go(n):
+        return float(loop(params0, opt0, jnp.float32(next(seq)), n))
+
+    t0 = time.perf_counter()
+    go(1)
+    _log(f"[bench:train] compile+first: {time.perf_counter() - t0:.1f}s")
+    go(reps + 1)
+    dt1 = attempts_min(lambda: go(reps + 1), "train:loop")
+    dt0 = attempts_min(lambda: go(1), "train:single",
+                       min_attempts=2, max_attempts=6)
+    t_step = max(dt1 - dt0, 1e-9) / reps
+    emit(f"train step (grad wrt verts+colors+materials+lights, adam, "
+         f"device chunk re-sort) {w}x{h} bob depth-{cfg.max_depth}",
+         t_step * 1e3, "ms/step", None)
+
+
+def bench_bigscene(width: int, height: int, reps: int) -> None:
+    """The GENUINE over-VMEM streaming configuration: bob x4 (42.7k tris,
+    ~10.9MB constants table > RESIDENT_LIMIT) — the HBM-streaming kernel is
+    selected by build_pack's own residency decision, nothing forced.
+    Ref ambition: Parellel/main.cu:49 (num_max defaults to 10M triangles)."""
+    from realtrace_tpu.apps import scenes
+    from realtrace_tpu.core.types import RenderConfig
+    from realtrace_tpu.ops import accel
+    from realtrace_tpu.ops.pallas import trace as ptrace
+
+    cfg = RenderConfig(max_depth=2, accel="pallas", chunk_size=64)
+    scene, cam = scenes.duplicated_serial_scene(
+        4, texture_path="/root/reference/Serial/bob_diffuse.png")
+    scene = accel.with_chunks(scene, cfg)
+    assert not ptrace.build_pack(scene, cfg).resident, \
+        "expected bob x4 to exceed RESIDENT_LIMIT"
+    camera = scenes.make_camera(cam, width, height, dtype=jnp.float32)
+    dt, nrays, _ = FrameBench(scene, cfg).measure(camera, "bigscene", reps)
+    mrays = nrays / dt / 1e6
+    emit(f"forward Mrays/s/chip {width}x{height} bob_x4 42.7k tris "
+         f"depth-2 (genuine HBM streaming)", mrays, "Mrays/s",
+         mrays / BASELINE_MRAYS, frame_ms=round(dt * 1e3, 2))
 
 
 def bench_stream_ratio(width: int, height: int, reps: int) -> None:
@@ -217,6 +300,15 @@ def main() -> None:
     smoke = os.environ.get("RT_BENCH_SMOKE") == "1"
     if smoke:
         jax.config.update("jax_platforms", "cpu")
+    # persistent compilation cache: repeat captures skip the ~100s tunnel
+    # compiles (the grad leg alone compiled 103.9s in the round-3 capture)
+    cache_dir = os.environ.get("RT_JAX_CACHE", "/root/repo/.jax_cache")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception as e:                      # cache is best-effort
+        _log(f"[bench] compilation cache unavailable: {e}")
     width = int(os.environ.get("RT_BENCH_WIDTH", 64 if smoke else 1920))
     height = int(os.environ.get("RT_BENCH_HEIGHT", 48 if smoke else 1080))
     depth = int(os.environ.get("RT_BENCH_DEPTH", 3))
@@ -233,8 +325,6 @@ def main() -> None:
     cfg = RenderConfig(max_depth=depth, accel=accel_mode,
                        chunk_size=int(os.environ.get("RT_BENCH_CHUNK", 32)),
                        ray_block=int(os.environ.get("RT_BENCH_BLOCK", 8192)),
-                       reorder_secondary=os.environ.get("RT_BENCH_REORDER", "0") == "1",
-                       reorder_children=os.environ.get("RT_BENCH_REORDER_CHILDREN", "0") == "1",
                        exact_mask_rays=int(os.environ.get("RT_BENCH_EXACT_MASK", 1 << 19)),
                        exact_mask_secondary=os.environ.get("RT_BENCH_EXACT_SECONDARY", "0") == "1")
     scene, cam = scenes.serial_obj_scene(
@@ -254,6 +344,8 @@ def main() -> None:
                 f"depth-{depth} ({accel_mode})")
     emit(headline, mrays, "Mrays/s", mrays / BASELINE_MRAYS)
 
+    dt_hh = None
+    camera_close = None
     if os.environ.get("RT_BENCH_HITHEAVY", "1") == "1" and not skip_secondary:
         # same compiled program as the headline (camera is a traced arg):
         # zero extra compiles, just slower frames
@@ -268,9 +360,33 @@ def main() -> None:
 
     if os.environ.get("RT_BENCH_GRAD", "1") == "1" and not skip_secondary:
         bench_grad_ratio(scene, camera, cfg, dt, max(2, repeats // 3))
+        if dt_hh is not None:
+            # the backward where it hurts: the close framing's residuals
+            # ("sweep"-tagged query results) are ~4x the headline's
+            bench_grad_ratio(scene, camera_close, cfg, dt_hh,
+                             max(2, repeats // 3), tag="grad-hh",
+                             framing="bob close-framed (~60% hit)")
+
+    if os.environ.get("RT_BENCH_TRAIN", "1") == "1" and not skip_secondary:
+        bench_train_step(scene, camera, cfg, max(2, repeats // 3))
 
     if os.environ.get("RT_BENCH_STREAM", "1") == "1" and not skip_secondary:
         bench_stream_ratio(width, height, max(2, repeats // 3))
+
+    if os.environ.get("RT_BENCH_BIG", "1") == "1" and not skip_secondary:
+        bench_bigscene(width, height, max(2, repeats // 3))
+
+    if os.environ.get("RT_BENCH_DEPTH10", "1") == "1" and not skip_secondary \
+            and depth != 10:
+        # the reference's RECURSION_DEPTH (Serial/world.h:11): one capture of
+        # the generalized wavefront + compaction ladder at depth 10
+        cfg10 = dataclasses.replace(cfg, max_depth=10)
+        fb10 = FrameBench(scene, cfg10)
+        dt10, nrays10, _ = fb10.measure(camera, "depth10", max(2, repeats // 3))
+        mrays10 = nrays10 / dt10 / 1e6
+        emit(f"forward Mrays/s/chip {width}x{height} bob_tri.obj depth-10 "
+             f"({accel_mode})", mrays10, "Mrays/s", mrays10 / BASELINE_MRAYS,
+             frame_ms=round(dt10 * 1e3, 2))
 
     emit(headline, mrays, "Mrays/s", mrays / BASELINE_MRAYS)
 

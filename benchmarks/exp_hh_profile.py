@@ -5,7 +5,7 @@ with tensorboard_plugin_profile; prints the top HLO ops by self time so the
 hit-heavy optimization targets the real costs (mask vs sweep vs sort vs
 shading). Run: PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python \
     python benchmarks/exp_hh_profile.py
-Env: RT_HH_EXACT=0|1 RT_HH_REORDER=0|1 (config under test).
+Env: RT_HH_EXACT=0|1 (config under test).
 """
 from __future__ import annotations
 
@@ -29,8 +29,7 @@ def main():
 
     cfg = RenderConfig(
         max_depth=3, accel="pallas", chunk_size=32,
-        exact_mask_secondary=os.environ.get("RT_HH_EXACT", "0") == "1",
-        reorder_children=os.environ.get("RT_HH_REORDER", "0") == "1")
+        exact_mask_secondary=os.environ.get("RT_HH_EXACT", "0") == "1")
     scene, cam = scenes.serial_obj_scene(
         texture_path="/root/reference/Serial/bob_diffuse.png", dtype=jnp.float32)
     scene = accel.with_chunks(scene, cfg)

@@ -191,6 +191,29 @@ class Viewer:
 
         self._frame = frame
 
+        @jax.jit
+        def frame_batch(scene, cameras):
+            """K frames in ONE dispatch: lax.scan over a stacked camera
+            pytree, returning uint8 RGBA (4x smaller than the f32 image over
+            the device->host pull — which, through the remote-TPU tunnel, is
+            a real cost per dispatch). Scripted/held-key orbit motion knows
+            its next K cameras up front, so the tunnel round trip + pull
+            amortizes over K frames; the per-frame `frame` path stays the
+            honest interactive number."""
+            from jax import lax
+
+            from realtrace_tpu.render.pipeline import to_rgba8
+
+            def body(nr, camera):
+                img, nrays = render_with_stats(scene, camera, cfg,
+                                               branching=branching)
+                return nr + nrays, to_rgba8(img)
+
+            nr, imgs = lax.scan(body, jax.numpy.zeros(()), cameras)
+            return imgs, nr
+
+        self._frame_batch = frame_batch
+
     def render(self) -> np.ndarray:
         t0 = time.perf_counter()
         camera = self.orbit.build_render_camera(dtype=self.scene.dtype)
@@ -295,6 +318,48 @@ class Viewer:
         if self._inbuf:
             self.handle_input("", flush=True)   # trailing lone ESC = quit
 
+    def run_script_batched(self, keys: str, batch: int = 8) -> None:
+        """Scripted orbit motion with K frames per device dispatch.
+
+        Applies the whole key script first (collecting the camera after every
+        orbit-affecting key), then renders the camera sequence in batches of
+        ``batch`` through ONE jitted scan per dispatch and pulls uint8 RGBA —
+        the device loop the tunnel-bound per-frame path leaves on the table
+        (the reference's held-key orbit redraws are equally scripted motion,
+        Parellel/main.cu:101-113). FPS/Mrays stats cover the whole run."""
+        import jax.tree_util as jtu
+
+        cams = []
+        for ch in keys:
+            events, rest = parse_events(self._inbuf + ch)
+            self._inbuf = rest
+            for ev in events:
+                action = apply_event(self.orbit, ev, self.drag_state)
+                if action == "quit":
+                    keys = ""   # stop collecting but render what we have
+                    break
+                if action == "save":
+                    continue
+                cams.append(self.orbit.build_render_camera(dtype=self.scene.dtype))
+        if not cams:
+            return
+        n = len(cams)
+        pad = (-n) % batch
+        cams = cams + [cams[-1]] * pad               # repeat-final padding
+        t0 = time.perf_counter()
+        total_rays = 0.0
+        for s in range(0, len(cams), batch):
+            stack = jtu.tree_map(lambda *xs: jax.numpy.stack(xs),
+                                 *cams[s:s + batch])
+            imgs, nrays = self._frame_batch(self.scene, stack)
+            imgs = np.asarray(jax.block_until_ready(imgs))   # ONE uint8 pull
+            total_rays += float(nrays)
+        dt = max(time.perf_counter() - t0, 1e-9)
+        self.frames += n
+        self.fps = len(cams) / dt
+        self.mrays = total_rays / dt / 1e6
+        self.last_img = imgs[-1][..., :3]            # RGBA -> RGB for save/paint
+
 
 def _build(scene_name: str, cfg: RenderConfig, width: int, height: int):
     from realtrace_tpu.apps import scenes as S
@@ -330,6 +395,9 @@ def main(argv=None) -> None:
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     p.add_argument("--script", default=None,
                    help="synthetic key string (headless demo/test mode)")
+    p.add_argument("--batch", type=int, default=0,
+                   help="with --script: frames per device dispatch (batched "
+                        "scan + uint8 RGBA pull; 0 = per-frame dispatch)")
     p.add_argument("--save-dir", default=".")
     args = p.parse_args(argv)
 
@@ -346,7 +414,10 @@ def main(argv=None) -> None:
     scene, orbit = _build(args.scene, cfg, w, h)
     viewer = Viewer(scene, orbit, cfg, save_dir=args.save_dir)
     if args.script is not None:
-        viewer.run_script(args.script)
+        if args.batch > 1:
+            viewer.run_script_batched(args.script, batch=args.batch)
+        else:
+            viewer.run_script(args.script)
         sys.stdout.write(viewer.status() + "\n")
     else:
         viewer.run()

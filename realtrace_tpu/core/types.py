@@ -317,17 +317,10 @@ class RenderConfig:
     # ops/intersect) — the naive full-frame backward materializes ~89GB of
     # residuals at 1080p. The sweep itself is never re-run.
     remat: bool = True
-    # re-tile compacted secondary wavefronts by a spatial Morton/octant key so
-    # the accel's per-tile interval masks stay tight after a bounce.
-    # Default OFF: on TPU the sort+permute apparatus measured ~+37ms/frame at
-    # 1080p — more than the sweep time it saves (see docs/KERNEL.md).
-    reorder_secondary: bool = False
-    # sort ONLY the child-ray QUERY by the coherence key inside the merged
-    # per-level queries (results un-sorted right after): live bounce tiles
-    # otherwise see ~50 chunks (union of 1024 divergent reflections) vs ~5
-    # re-tiled; unlike reorder_secondary, the wavefront carry never moves.
-    # DEFAULT OFF: the two full-width variadic sorts cost more than the
-    # tighter tiles save once the early exits are in — measured hit-heavy
-    # 1080p 247.7ms (off) vs 291.7ms (on), headline 35.3 vs 34.4
-    # (benchmarks/exp_hh_ablate.py / exp_head_ablate.py); net loser.
-    reorder_children: bool = False
+    # NOTE: two former knobs — reorder_secondary (Morton/octant re-tiling of
+    # compacted secondary wavefronts) and reorder_children (coherence-sorting
+    # only the child query) — were measured NET LOSERS on TPU (sort/permute
+    # apparatus costs more than the tighter chunk lists save once the
+    # kernel's early exits are in; docs/KERNEL.md round-3 ablations:
+    # reorder_secondary +37ms/frame, reorder_children hit-heavy 291.7 vs
+    # 247.7ms) and were REMOVED in round 4 rather than shipped untested.

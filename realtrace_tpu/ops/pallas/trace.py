@@ -551,7 +551,7 @@ class AccelPack:
         self.hi = hi          # (M, 3) chunk AABB maxs
         self.perm = perm      # (M*C,) sorted->original triangle index
         self.resident = resident
-        self.scene_lo = lo.min(axis=0)   # scene AABB (wavefront re-tiling key)
+        self.scene_lo = lo.min(axis=0)   # scene AABB
         self.scene_hi = hi.max(axis=0)
 
 

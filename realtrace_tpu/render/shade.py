@@ -61,37 +61,6 @@ def light_shade(position: Array, normal: Array, view: Array, color: Array,
     return jnp.sum(out, axis=1)                            # (R,3)
 
 
-def _coherence_key(ro: Array, rd: Array, lo: Array, hi: Array, live: Array) -> Array:
-    """uint32 sort key that re-tiles an incoherent secondary wavefront into
-    spatially coherent 1024-ray tiles: Morton code of the quantized ray
-    origin (coarse bits most significant) with the direction octant injected
-    below them. Dead/parked lanes get the max key so they pack into all-dead
-    tail tiles (zero accel work). Bounds ``lo``/``hi`` are the scene AABB.
-
-    This is what keeps the interval chunk masks tight after a bounce: raw
-    reflection wavefronts mix origins/directions within a pixel tile and the
-    per-tile slab test degrades to ~all chunks (measured 61-95 of 167 on bob
-    level>=1 vs 0.86 at level 0).
-    """
-    u32 = jnp.uint32
-    ext = jnp.maximum(hi - lo, 1e-30)
-    q = jnp.clip((ro - lo[None]) / ext[None] * 1023.0, 0.0, 1023.0).astype(u32)
-
-    def spread(v):  # 10-bit -> every 3rd bit of 30
-        v = (v | (v << u32(16))) & u32(0x030000FF)
-        v = (v | (v << u32(8))) & u32(0x0300F00F)
-        v = (v | (v << u32(4))) & u32(0x030C30C3)
-        v = (v | (v << u32(2))) & u32(0x09249249)
-        return v
-
-    m = spread(q[:, 0]) | (spread(q[:, 1]) << u32(1)) | (spread(q[:, 2]) << u32(2))
-    octant = ((rd[:, 0] > 0).astype(u32)
-              | ((rd[:, 1] > 0).astype(u32) << u32(1))
-              | ((rd[:, 2] > 0).astype(u32) << u32(2)))
-    key = ((m >> u32(12)) << u32(12)) | (octant << u32(9)) | ((m >> u32(3)) & u32(0x1FF))
-    return jnp.where(live, key, u32(0xFFFFFFFF))
-
-
 def _park_dead(ro: Array, rd: Array, live: Array) -> tuple[Array, Array]:
     """Replace dead lanes' rays with a guaranteed-miss ray far outside the
     scene, pointing away. The wavefront stays dense (no compaction — SURVEY
@@ -266,45 +235,10 @@ def _merged_query(scene: Scene, hit: Hit, valid: Array, children, cfg: RenderCon
     if not isinstance(children[0], (list, tuple)):   # single (ro, rd, coeff)
         children = [children]
 
-    # Child (reflection/refraction) rays are incoherent within their pixel
-    # tile: live bounce tiles see ~50 of 334 chunks (tile-union of 1024
-    # divergent directions) vs ~1 for primaries. Sorting ONLY the query by
-    # the Morton/octant coherence key re-tiles children into spatially
-    # coherent kernel tiles; results are un-sorted immediately, so the
-    # wavefront carry stays in pixel-lane order. Both directions use ONE
-    # variadic lax.sort carrying the ray columns — row gathers by a
-    # permutation (the round-2 implementation) run at ~0.5GB/s on TPU and
-    # cost >100ms at full wavefront widths (the hidden regression that took
-    # the captured headline from 33ms to 45ms). Entirely stop-gradient.
-    reorder = (pack is not None and cfg.reorder_children
-               and scene.n_triangles > 0)
     # secondary wavefronts get the exact per-ray chunk mask at ANY width
     # (blockwise, memory-bounded): interval lists are 2-2.5x looser for
     # shadow/child rays on close framings (benchmarks/exp_mask_stats.py)
     em = True if cfg.exact_mask_secondary else None
-
-    def _sorted_query_child(ro_c, rd_c, coeff_c):
-        live = jnp.any(lax.stop_gradient(coeff_c) > 0.0, axis=-1)
-        key = _coherence_key(lax.stop_gradient(ro_c), lax.stop_gradient(rd_c),
-                             pack.scene_lo, pack.scene_hi, live)
-        ro_g = lax.stop_gradient(ro_c)
-        rd_g = lax.stop_gradient(rd_c)
-        ids = jnp.arange(key.shape[0], dtype=jnp.int32)
-        (_, ro0, ro1, ro2, rd0, rd1, rd2, ids_s) = lax.sort(
-            (key, ro_g[:, 0], ro_g[:, 1], ro_g[:, 2],
-             rd_g[:, 0], rd_g[:, 1], rd_g[:, 2], ids),
-            dimension=0, num_keys=1, is_stable=False)
-        ro_s = jnp.stack([ro0, ro1, ro2], axis=1)
-        rd_s = jnp.stack([rd0, rd1, rd2], axis=1)
-        return ro_s, rd_s, ids_s
-
-    invs = [None] * len(children)
-    if reorder:
-        sorted_children = []
-        for k, (ro_c, rd_c, coeff_c) in enumerate(children):
-            ro_s, rd_s, invs[k] = _sorted_query_child(ro_c, rd_c, coeff_c)
-            sorted_children.append((ro_s, rd_s, coeff_c))
-        children = sorted_children
 
     ro_cs = [c[0] for c in children]
     rd_cs = [c[1] for c in children]
@@ -348,14 +282,9 @@ def _merged_query(scene: Scene, hit: Hit, valid: Array, children, cfg: RenderCon
         t, fam, idx = t[s:], fam[s:], idx[s:]
     out = []
     s = 0
-    for k, ro_c in enumerate(ro_cs):
+    for ro_c in ro_cs:
         e = s + ro_c.shape[0]
-        tk, famk, idxk = t[s:e], fam[s:e], idx[s:e]
-        if invs[k] is not None:   # back to pixel-lane order: one variadic sort
-            _, tk, famk, idxk = lax.sort((invs[k], tk, famk, idxk),
-                                         dimension=0, num_keys=1,
-                                         is_stable=False)
-        out.append((tk, famk, idxk))
+        out.append((t[s:e], fam[s:e], idx[s:e]))
         s = e
     return occ, out
 
@@ -641,8 +570,7 @@ def trace_wavefront(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
                 hit0 = hit_attributes(scene, ro_c, rd_c, t_c, fam_c,
                                       idx_c.astype(jnp.int32), cfg, pack=pack)
 
-                reorder = pack is not None and cfg.reorder_secondary
-                merged = cfg.merge_queries and not reorder
+                merged = cfg.merge_queries
 
                 if merged:
                     valid0, isd0, child0, _ = _children_geom(
@@ -682,31 +610,14 @@ def trace_wavefront(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
                             put(accum, contrib), nrays), None
 
                 def step(carry, _):
+                    # merge_queries=False fallback: per-level closest hit with
+                    # the shadow query inline (pinned by the merge_queries
+                    # parametrization in tests/test_golden.py)
                     ro_s, rd_s, coeff_s, accum, nrays = carry
-                    if reorder:
-                        # secondary rays are incoherent within their pixel
-                        # tile, which loosens the sweep's interval chunk masks
-                        # (measured ~80 of 167 chunks/tile on bob bounce-1 vs
-                        # ~0.9 at level 0). At compact width the Morton/octant
-                        # re-sort is ~1ms against >10ms of sweep it saves; the
-                        # inverse permutation restores tile→pixel mapping
-                        # before the contribution scatter.
-                        live = jnp.any(lax.stop_gradient(coeff_s) > 0.0, axis=-1)
-                        key = _coherence_key(lax.stop_gradient(ro_s),
-                                             lax.stop_gradient(rd_s),
-                                             pack.scene_lo, pack.scene_hi, live)
-                        order = jnp.argsort(key).astype(jnp.int32)
-                        inv_order = jnp.zeros_like(order).at[order].set(
-                            jnp.arange(order.shape[0], dtype=jnp.int32))
-                        ro_s, rd_s, coeff_s = ro_s[order], rd_s[order], coeff_s[order]
                     hit = closest_hit(scene, ro_s, rd_s, cfg, pack=pack)
                     nrays = nrays + count_rays(coeff_s, hit)
                     contrib, (ro_n, rd_n, coeff_n), _ = _children(
                         scene, hit, ro_s, rd_s, coeff_s, cfg, pack=pack)
-                    if reorder:
-                        contrib, ro_n, rd_n, coeff_n = (
-                            contrib[inv_order], ro_n[inv_order],
-                            rd_n[inv_order], coeff_n[inv_order])
                     return (ro_n, rd_n, coeff_n, put(accum, contrib), nrays), None
 
                 def deep_phase(carry):

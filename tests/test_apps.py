@@ -142,6 +142,23 @@ def test_viewer_split_escape_sequences_carry_over(tmp_path):
     assert not v.handle_input("", flush=True)
 
 
+def test_viewer_batched_script_matches_per_frame(tmp_path):
+    """run_script_batched (K frames per device dispatch, uint8 RGBA pull)
+    must land on the same final camera and the same final image as the
+    per-frame scripted loop."""
+    import numpy as np
+
+    script = "\x1b[C\x1b[C\x1b[A" + "z"          # yaw, yaw, pitch, radius
+    a = _tiny_viewer(tmp_path)
+    a.run_script(script)
+    b = _tiny_viewer(tmp_path)
+    b.run_script_batched(script, batch=3)        # 4 cams -> pad to 6
+    assert (a.orbit.yaw, a.orbit.pitch, a.orbit.radius) == \
+        (b.orbit.yaw, b.orbit.pitch, b.orbit.radius)
+    assert b.frames == 4
+    np.testing.assert_array_equal(a.last_img, b.last_img)
+
+
 def test_viewer_mouse_drag_orbits(tmp_path):
     v = _tiny_viewer(tmp_path)
     v.render()

@@ -148,9 +148,16 @@ def test_golden_128_cached():
     assert_images_match(got, want)
 
 
-def test_golden_128_cached_pallas():
+@pytest.mark.parametrize("knobs", [
+    {},                                  # flagship defaults
+    {"exact_mask_secondary": True},      # forced exact per-ray chunk masks
+    {"merge_queries": False},            # unmerged per-level query fallback
+], ids=["default", "exact_secondary", "unmerged"])
+def test_golden_128_cached_pallas(knobs):
     """Same artifact through the flagship pallas accel path (interpret mode on
-    CPU) — pins the chunk-sweep kernel + compaction at a tile-spanning size."""
+    CPU) — pins the chunk-sweep kernel + compaction at a tile-spanning size.
+    Parametrized over every reachable non-default cfg branch in render/shade
+    (VERDICT round-3: measured-off knobs must be tested or deleted)."""
     import pathlib
 
     from oracle.scene128 import CAM, SIZE, build_scene128, config
@@ -159,7 +166,7 @@ def test_golden_128_cached_pallas():
     art = pathlib.Path(__file__).parent / "oracle" / "golden128.npz"
     assert art.exists(), "run tests/oracle/gen128.py to regenerate the artifact"
     want = np.load(art)["image"]
-    cfg = config(accel="pallas")
+    cfg = config(accel="pallas", **knobs)
     scene = accel.with_chunks(build_scene128(dtype=DT), cfg)
     cam = scenes.make_camera(CAM, SIZE, SIZE, dtype=DT)
     got = render_image(scene, cam, cfg)

@@ -202,3 +202,43 @@ def test_pallas_streaming_path_matches(monkeypatch):
     np.testing.assert_array_equal(np.asarray(tp) < 1e29, tb < 1e29)
     both = tb < 1e29
     np.testing.assert_allclose(np.asarray(tp)[both], tb[both], rtol=1e-4)
+
+
+def _bulk_tri_scene(n: int, seed: int):
+    """n random triangles without the per-triangle SceneBuilder loop."""
+    from realtrace_tpu.core.types import Materials
+
+    rng = np.random.default_rng(seed)
+    base = random_scene(n=1)
+    tv = jnp.asarray(rng.uniform(-10, 10, (n, 1, 3))
+                     + rng.uniform(-1.5, 1.5, (n, 3, 3)), jnp.float32)
+    col = jnp.broadcast_to(jnp.asarray([0.8, 0.1, 0.0], jnp.float32), (n, 3, 3))
+    return base.replace(tri_vertices=tv, tri_colors=col,
+                        tri_materials=Materials.default(n))
+
+
+def test_residency_decision_boundary_and_genuine_streaming():
+    """Pin the residency DECISION (ops/pallas/trace.build_pack): a table at
+    RESIDENT_LIMIT stays VMEM-resident, one chunk over switches to the
+    HBM-streaming kernel — and drive that GENUINE (non-forced) streaming
+    dispatch end-to-end against brute force. The big-scene path is otherwise
+    only reachable by monkeypatching the limit."""
+    cfg = RenderConfig(accel="pallas", chunk_size=32)
+    per_tri = 4 * trace.FEAT * 4          # bytes/triangle in the B table
+    n_at = trace.RESIDENT_LIMIT // per_tri        # chunk-divisible at-limit
+    assert n_at % cfg.chunk_size == 0
+
+    at = accel.with_chunks(_bulk_tri_scene(n_at, seed=20), cfg)
+    assert trace.build_pack(at, cfg).resident
+
+    over = accel.with_chunks(_bulk_tri_scene(n_at + 1, seed=21), cfg)
+    pack = trace.build_pack(over, cfg)
+    assert not pack.resident              # one padded chunk over the limit
+
+    ro, rd = random_rays(r=256, seed=17)
+    tp, _ = trace.closest_triangle(over, ro, rd, cfg, pack=pack)
+    tb, _ = brute(over, ro, rd, cfg)
+    np.testing.assert_array_equal(np.asarray(tp) < 1e29, np.asarray(tb) < 1e29)
+    both = np.asarray(tb) < 1e29
+    np.testing.assert_allclose(np.asarray(tp)[both], np.asarray(tb)[both],
+                               rtol=1e-4)
