@@ -271,6 +271,12 @@ class RenderConfig:
     # slightly longer chunk lists. 4*chunk_size must be a multiple of 128 for
     # the VMEM-resident layout (so 32 is the floor).
     chunk_size: int = 32
+    # chunk size for OCCLUSION (any-mode / shadow) sweeps only; 0 = same as
+    # chunk_size. Shadow rays cross the whole model toward the light, making
+    # their sweeps visit-count-bound while the any-mode epilogue (division-
+    # free OR-reduce) is cheap — coarser chunks trade epilogue FLOPs for
+    # half the visits and per-visit loop overhead (benchmarks/exp_shadow64.py)
+    shadow_chunk_size: int = 0
     # chunks tested per ray block (XLA chunked path). Scaled with the
     # chunk_size default (64->32) so shortlist*chunk_size coverage of the
     # APPROXIMATE chunked mode is unchanged.

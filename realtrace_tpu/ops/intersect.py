@@ -25,6 +25,10 @@ from realtrace_tpu.core.types import RenderConfig, Scene
 
 BIG = 1e30  # "no hit" distance sentinel (FLT_MAX analog, Serial/ray.h:25)
 
+# Material scalars as a separate narrow (N, 6) shade table vs inlined into
+# the wide geometry table (round-4 A/B; benchmarks/exp_mat_split.py).
+MAT_SPLIT = True
+
 # family codes
 FAM_NONE, FAM_TRI, FAM_SPH, FAM_PLN, FAM_CYL = 0, 1, 2, 3, 4
 
@@ -266,26 +270,36 @@ def hit_attributes(scene: Scene, ro: Array, rd: Array, t_fwd: Array, fam: Array,
     index_out = idx
     if scene.n_triangles:
         m = valid & (fam == FAM_TRI)
-        # ONE fused row gather from a (N, 24) shade table — ~10 separate
-        # narrow gathers at 2M rays cost ~190ms on TPU; one wide row gather
-        # is near DMA speed. Differentiable w.r.t. the table values.
+        # Row gathers from the shade tables — ~10 separate narrow gathers at
+        # 2M rays cost ~190ms on TPU; wide row gathers are near DMA speed.
+        # Differentiable w.r.t. the table values. The material scalars ride a
+        # SEPARATE narrow (N, 6) table (MAT_SPLIT): each downstream material
+        # column extract relayouts a (R, 6) array instead of re-streaming the
+        # full (R, 25) gather result (the round-3 profile's ~26ms).
         tm = scene.tri_materials
-        table = jnp.concatenate([
+        geom_cols = [
             scene.tri_vertices.reshape(-1, 9),
             scene.tri_colors.reshape(-1, 9),
-            jnp.stack([tm.ka, tm.kd, tm.ks, tm.kr, tm.kt, tm.eta], axis=1),
-        ], axis=1)                                         # (N, 24)
+        ]
+        mat_cols = jnp.stack([tm.ka, tm.kd, tm.ks, tm.kr, tm.kt, tm.eta],
+                             axis=1)                       # (N, 6)
+        if not MAT_SPLIT:
+            geom_cols.append(mat_cols)
+        table = jnp.concatenate(geom_cols, axis=1)         # (N, 18 or 24)
+        nc = table.shape[1]
         if cfg.accel == "pallas":
             # pallas idx is SORTED-space: gather from the permuted table and
             # recover the original triangle id from an index column (exact in
             # f32/f64 below 2^24 triangles) — no per-ray perm gather.
             perm = pack.perm if pack is not None else scene.tri_chunk_perm
             table = jnp.concatenate(
-                [table[perm], perm.astype(dt)[:, None]], axis=1)  # (N', 25)
-            g = table[idx]                                 # (R, 25)
-            index_out = jnp.where(m, g[:, 24].astype(i32), index_out)
+                [table[perm], perm.astype(dt)[:, None]], axis=1)
+            g = table[idx]                                 # (R, nc+1)
+            index_out = jnp.where(m, g[:, nc].astype(i32), index_out)
+            gm = mat_cols[perm][idx] if MAT_SPLIT else g   # (R, 6)
         else:
-            g = table[idx]                                 # (R, 24)
+            g = table[idx]                                 # (R, nc)
+            gm = mat_cols[idx] if MAT_SPLIT else g
         # COLUMNAR math: slice g into (R,) columns and keep every cross/dot
         # as scalar mul/add chains — one XLA loop fusion reading the gathered
         # table ONCE. The (R,3)-vector formulation (reshape + vec.dot)
@@ -319,8 +333,9 @@ def hit_attributes(scene: Scene, ro: Array, rd: Array, t_fwd: Array, fam: Array,
         t_d = sel(m, tt, t_d)
         normal = sel(m, jnp.stack([nx, ny, nz], axis=1), normal)
         color = sel(m, col, color)
+        moff = 0 if MAT_SPLIT else 18
         for j, k in enumerate(("ka", "kd", "ks", "kr", "kt", "eta")):
-            mats[k] = sel(m, g[:, 18 + j], mats[k])
+            mats[k] = sel(m, gm[:, moff + j], mats[k])
 
     if scene.n_spheres:
         m = valid & (fam == FAM_SPH)

@@ -544,25 +544,27 @@ class AccelPack:
     every closest/occlusion query (8+ sweeps per frame would otherwise each
     recompute ~6ms of packing at 1080p)."""
 
-    def __init__(self, b, meta, lo, hi, perm, resident: bool):
+    def __init__(self, b, meta, lo, hi, perm, resident: bool, chunk_size: int):
         self.b = b            # constants table (layout depends on `resident`)
         self.meta = meta      # (M, 3) chunk centroids
         self.lo = lo          # (M, 3) chunk AABB mins
         self.hi = hi          # (M, 3) chunk AABB maxs
         self.perm = perm      # (M*C,) sorted->original triangle index
         self.resident = resident
+        self.chunk_size = chunk_size
         self.scene_lo = lo.min(axis=0)   # scene AABB
         self.scene_hi = hi.max(axis=0)
+        self.any_pack: "AccelPack | None" = None   # optional any-mode variant
 
 
-def build_pack(scene: Scene, cfg: RenderConfig) -> AccelPack:
-    """Precompute the sweep's scene-constant inputs (stop-gradient)."""
-    perm = scene.tri_chunk_perm
-    if perm is None:
-        raise ValueError("scene has no chunk permutation; call accel.with_chunks(scene, cfg)")
-    c = cfg.chunk_size
+def _pack_for(perm, tri_vertices, c: int) -> AccelPack:
+    """AccelPack at chunk size ``c`` from a sorted triangle permutation
+    (padded here to a multiple of ``c`` by repeating the last triangle)."""
     f32 = jnp.float32
-    tv = lax.stop_gradient(scene.tri_vertices).astype(f32)[perm]
+    pad = (-perm.shape[0]) % c
+    if pad:
+        perm = jnp.concatenate([perm, jnp.broadcast_to(perm[-1], (pad,))])
+    tv = lax.stop_gradient(tri_vertices).astype(f32)[perm]
     m = tv.shape[0] // c
     tvc = tv.reshape(m, c, 3, 3)
     lo = tvc.min(axis=(1, 2))
@@ -576,9 +578,29 @@ def build_pack(scene: Scene, cfg: RenderConfig) -> AccelPack:
         b = b.transpose(2, 0, 1).reshape(FEAT, m * 4 * c)
     else:
         # streaming layout: K padded so per-chunk DMA slices are 128-aligned
-        pad = jnp.zeros(b.shape[:2] + (FEAT_PAD - FEAT,), b.dtype)
-        b = jnp.concatenate([b, pad], axis=-1)                # (M, 4C, 128)
-    return AccelPack(b, centroid, lo, hi, perm, resident)
+        pad_k = jnp.zeros(b.shape[:2] + (FEAT_PAD - FEAT,), b.dtype)
+        b = jnp.concatenate([b, pad_k], axis=-1)              # (M, 4C, 128)
+    return AccelPack(b, centroid, lo, hi, perm, resident, c)
+
+
+def build_pack(scene: Scene, cfg: RenderConfig) -> AccelPack:
+    """Precompute the sweep's scene-constant inputs (stop-gradient).
+
+    When ``cfg.shadow_chunk_size`` differs from ``cfg.chunk_size``, a second
+    pack at that granularity is attached for occlusion (any-mode) sweeps:
+    shadow rays cross the whole model toward the light, so their sweeps are
+    visit-count-bound and the cheap OR-reduce epilogue tolerates bigger
+    chunks — coarser chunks halve the per-visit loop overhead and the list
+    lengths at equal triangle-test FLOPs. Sibling 32-chunks of the median
+    split are spatially adjacent, so pairing them keeps AABBs tight."""
+    perm = scene.tri_chunk_perm
+    if perm is None:
+        raise ValueError("scene has no chunk permutation; call accel.with_chunks(scene, cfg)")
+    pack = _pack_for(perm, scene.tri_vertices, cfg.chunk_size)
+    c2 = cfg.shadow_chunk_size
+    if c2 and c2 != cfg.chunk_size:
+        pack.any_pack = _pack_for(perm, scene.tri_vertices, c2)
+    return pack
 
 
 def closest_triangle(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
@@ -599,7 +621,9 @@ def closest_triangle(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
     """
     if pack is None:
         pack = build_pack(scene, cfg)
-    c = cfg.chunk_size
+    if any_mode and pack.any_pack is not None:
+        pack = pack.any_pack          # occlusion sweeps at their own chunk size
+    c = pack.chunk_size
     f32 = jnp.float32
     b, meta, lo, hi, perm = pack.b, pack.meta, pack.lo, pack.hi, pack.perm
     resident = pack.resident

@@ -85,6 +85,27 @@ def test_pallas_matches_bruteforce_interpret():
     assert (ip[both] == ib[both]).mean() > 0.99  # ties may differ
 
 
+def test_shadow_chunk_size_occlusion_matches_bruteforce():
+    """cfg.shadow_chunk_size routes ONLY any-mode (occlusion) sweeps through
+    a coarser-chunk pack; the occlusion verdicts must be identical to brute
+    force, and closest queries must be untouched by the knob."""
+    scene = random_scene()
+    cfg = RenderConfig(accel="pallas", chunk_size=32, shadow_chunk_size=64)
+    scene = accel.with_chunks(scene, cfg)
+    pack = trace.build_pack(scene, cfg)
+    assert pack.any_pack is not None and pack.any_pack.chunk_size == 64
+    ro, rd = random_rays()
+    occ = np.asarray(trace.any_triangle(scene, ro, rd, cfg, pack=pack))
+    t, _, _ = intersect.triangle_test(ro, rd, scene.tri_vertices,
+                                      cfg.det_epsilon, cfg.smallest_dist)
+    want = np.asarray(jnp.any(t < intersect.BIG, axis=1))
+    np.testing.assert_array_equal(occ, want)
+    # closest query rides the primary (chunk-32) pack
+    tp, _ = trace.closest_triangle(scene, ro, rd, cfg, pack=pack)
+    tb, _ = brute(scene, ro, rd, cfg)
+    np.testing.assert_array_equal(np.asarray(tp) < 1e29, np.asarray(tb) < 1e29)
+
+
 def test_pallas_ray_count_not_multiple_of_tile():
     scene = random_scene(40)
     cfg = RenderConfig(accel="pallas", chunk_size=32)
