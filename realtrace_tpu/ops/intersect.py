@@ -26,8 +26,18 @@ from realtrace_tpu.core.types import RenderConfig, Scene
 BIG = 1e30  # "no hit" distance sentinel (FLT_MAX analog, Serial/ray.h:25)
 
 # Material scalars as a separate narrow (N, 6) shade table vs inlined into
-# the wide geometry table (round-4 A/B; benchmarks/exp_mat_split.py).
-MAT_SPLIT = True
+# the wide geometry table. MEASURED WORSE (hit-heavy 180.0 vs 163.0 ms,
+# benchmarks/exp_mat_split.py): any (R, k<=25) f32 array is laid out T(8,128)
+# — minor dim padded to 128 lanes — so the narrow gather writes the same
+# ~1.07GB physical as the wide one, plus an extra gather pass. Kept only as
+# the A/B hook; default False.
+MAT_SPLIT = False
+# Transpose the gathered shade table to (25, R) once (sublane-major: 25 rows
+# pad to 32 sublanes = 1.28x physical, vs 128/25 = 5.1x for (R, 25)); every
+# downstream column access becomes a contiguous row slice. Targets the six
+# 1.43ms/level extract fusions + the columnar pass each re-reading the fat
+# (R, 25) array (round-4 profile; benchmarks/exp_mat_split.py).
+TRANS_GATHER = True
 
 # family codes
 FAM_NONE, FAM_TRI, FAM_SPH, FAM_PLN, FAM_CYL = 0, 1, 2, 3, 4
@@ -295,20 +305,37 @@ def hit_attributes(scene: Scene, ro: Array, rd: Array, t_fwd: Array, fam: Array,
             table = jnp.concatenate(
                 [table[perm], perm.astype(dt)[:, None]], axis=1)
             g = table[idx]                                 # (R, nc+1)
-            index_out = jnp.where(m, g[:, nc].astype(i32), index_out)
-            gm = mat_cols[perm][idx] if MAT_SPLIT else g   # (R, 6)
+            gm = mat_cols[perm][idx] if MAT_SPLIT else None
         else:
             g = table[idx]                                 # (R, nc)
-            gm = mat_cols[idx] if MAT_SPLIT else g
-        # COLUMNAR math: slice g into (R,) columns and keep every cross/dot
-        # as scalar mul/add chains — one XLA loop fusion reading the gathered
-        # table ONCE. The (R,3)-vector formulation (reshape + vec.dot)
-        # compiled to SIX separate full-width reduce fusions + relayout
-        # copies that each re-streamed the 200MB (R,25) array from HBM
+            gm = mat_cols[idx] if MAT_SPLIT else None
+        if TRANS_GATHER:
+            # ONE materialized transpose: (R, k) f32 lays out T(8,128) —
+            # minor dim padded to 128 lanes, so the gathered table is ~5.1x
+            # its logical bytes in HBM and every strided column extract
+            # re-reads all of it (measured 10.9 GiB/s useful BW). (25, R) is
+            # sublane-major (1.28x padding) and every column access below
+            # becomes a contiguous row slice. The barrier stops XLA from
+            # canonicalizing the transpose back into per-consumer strided
+            # slices of the fat layout.
+            gT = lax.optimization_barrier(g.T)
+            gcol = lambda j: gT[j]
+            gmT = gT if gm is None else lax.optimization_barrier(gm.T)
+            gmcol = (lambda j: gmT[18 + j]) if gm is None else (lambda j: gmT[j])
+        else:
+            gcol = lambda j: g[:, j]
+            gmcol = (lambda j: g[:, 18 + j]) if gm is None else (lambda j: gm[:, j])
+        if cfg.accel == "pallas":
+            index_out = jnp.where(m, gcol(nc).astype(i32), index_out)
+        # COLUMNAR math: slice the gather into (R,) columns and keep every
+        # cross/dot as scalar mul/add chains — one XLA loop fusion reading
+        # the gathered table ONCE. The (R,3)-vector formulation (reshape +
+        # vec.dot) compiled to SIX separate full-width reduce fusions +
+        # relayout copies that each re-streamed the gathered array from HBM
         # (~22ms/level at hit-heavy 1080p; see docs/KERNEL.md round-3).
-        ax, ay, az = g[:, 0], g[:, 1], g[:, 2]
-        bx, by, bz = g[:, 3], g[:, 4], g[:, 5]
-        cx, cy, cz = g[:, 6], g[:, 7], g[:, 8]
+        ax, ay, az = gcol(0), gcol(1), gcol(2)
+        bx, by, bz = gcol(3), gcol(4), gcol(5)
+        cx, cy, cz = gcol(6), gcol(7), gcol(8)
         rx, ry, rz = rd[:, 0], rd[:, 1], rd[:, 2]
         ox, oy, oz = ro[:, 0], ro[:, 1], ro[:, 2]
         e1x, e1y, e1z = ax - bx, ay - by, az - bz
@@ -327,15 +354,14 @@ def hit_attributes(scene: Scene, ro: Array, rd: Array, t_fwd: Array, fam: Array,
                  + rz * (e1x * sy - e1y * sx)) / det_safe
         alpha = 1.0 - beta - gamma
         col = jnp.stack(
-            [alpha * g[:, 9] + beta * g[:, 12] + gamma * g[:, 15],
-             alpha * g[:, 10] + beta * g[:, 13] + gamma * g[:, 16],
-             alpha * g[:, 11] + beta * g[:, 14] + gamma * g[:, 17]], axis=1)
+            [alpha * gcol(9) + beta * gcol(12) + gamma * gcol(15),
+             alpha * gcol(10) + beta * gcol(13) + gamma * gcol(16),
+             alpha * gcol(11) + beta * gcol(14) + gamma * gcol(17)], axis=1)
         t_d = sel(m, tt, t_d)
         normal = sel(m, jnp.stack([nx, ny, nz], axis=1), normal)
         color = sel(m, col, color)
-        moff = 0 if MAT_SPLIT else 18
         for j, k in enumerate(("ka", "kd", "ks", "kr", "kt", "eta")):
-            mats[k] = sel(m, gm[:, moff + j], mats[k])
+            mats[k] = sel(m, gmcol(j), mats[k])
 
     if scene.n_spheres:
         m = valid & (fam == FAM_SPH)

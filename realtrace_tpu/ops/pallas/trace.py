@@ -80,14 +80,24 @@ def _pack_tri_consts(tvc: Array, centroid: Array) -> Array:
 
 def _features(ro: Array, rd: Array) -> Array:
     """Per-ray features, TRANSPOSED layout (FEAT, R): rows
-    [1, ro, rd, rd x ro, 1/rd, pad]. Built row-major so the kernel's
-    (FEAT, LANES) blocks are plain column slices — no relayout."""
-    q = jnp.cross(rd, ro)
-    inv = jnp.where(rd != 0.0, 1.0 / jnp.where(rd != 0.0, rd, 1.0), BIG)
-    one = jnp.ones((ro.shape[0], 1), ro.dtype)
-    pad = jnp.zeros((ro.shape[0], FEAT - 13), ro.dtype)
-    # ONE (R,16)->(16,R) relayout instead of four narrow transposes
-    return jnp.concatenate([one, ro, rd, q, inv, pad], axis=1).T
+    [1, ro, rd, rd x ro, 1/rd, pad]. Built as a ROW STACK of (R,) vectors:
+    a concatenate-then-transpose produced a materialized (R, 16) f32
+    intermediate, which lays out T(8,128) (minor dim padded to 128 lanes =
+    8x the logical bytes) — measured 3.2ms per secondary-query feature
+    build at hit-heavy 1080p (round-4 profile). The stacked (16, R) output
+    is sublane-major with zero padding."""
+    rox, roy, roz = ro[:, 0], ro[:, 1], ro[:, 2]
+    rdx, rdy, rdz = rd[:, 0], rd[:, 1], rd[:, 2]
+    qx = rdy * roz - rdz * roy
+    qy = rdz * rox - rdx * roz
+    qz = rdx * roy - rdy * rox
+    inv = [jnp.where(d != 0.0, 1.0 / jnp.where(d != 0.0, d, 1.0), BIG)
+           for d in (rdx, rdy, rdz)]
+    one = jnp.ones_like(rox)
+    pad = jnp.zeros_like(rox)
+    rows = [one, rox, roy, roz, rdx, rdy, rdz, qx, qy, qz, *inv] \
+        + [pad] * (FEAT - 13)
+    return jnp.stack(rows)
 
 
 def _recenter(a, a2_scratch, m, meta_ref):
