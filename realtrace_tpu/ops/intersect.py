@@ -32,12 +32,13 @@ BIG = 1e30  # "no hit" distance sentinel (FLT_MAX analog, Serial/ray.h:25)
 # ~1.07GB physical as the wide one, plus an extra gather pass. Kept only as
 # the A/B hook; default False.
 MAT_SPLIT = False
-# Transpose the gathered shade table to (25, R) once (sublane-major: 25 rows
-# pad to 32 sublanes = 1.28x physical, vs 128/25 = 5.1x for (R, 25)); every
-# downstream column access becomes a contiguous row slice. Targets the six
-# 1.43ms/level extract fusions + the columnar pass each re-reading the fat
-# (R, 25) array (round-4 profile; benchmarks/exp_mat_split.py).
-TRANS_GATHER = True
+# Transpose the gathered shade table to (25, R) once behind an
+# optimization_barrier so downstream column extracts become contiguous row
+# slices. MEASURED MUCH WORSE (hit-heavy 356.4 vs 160.0 ms, headline 32.5 vs
+# 26.6; benchmarks/exp_trans_gather.py): XLA's materialized (R,25)->(25,R)
+# transpose is a scalar-ish relayout that costs far more than the six
+# strided extract fusions it replaces. Kept only as the A/B hook.
+TRANS_GATHER = False
 
 # family codes
 FAM_NONE, FAM_TRI, FAM_SPH, FAM_PLN, FAM_CYL = 0, 1, 2, 3, 4
