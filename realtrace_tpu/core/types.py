@@ -271,12 +271,13 @@ class RenderConfig:
     # slightly longer chunk lists. 4*chunk_size must be a multiple of 128 for
     # the VMEM-resident layout (so 32 is the floor).
     chunk_size: int = 32
-    # chunk size for OCCLUSION (any-mode / shadow) sweeps only; 0 = same as
-    # chunk_size. Shadow rays cross the whole model toward the light, making
-    # their sweeps visit-count-bound while the any-mode epilogue (division-
-    # free OR-reduce) is cheap — coarser chunks trade epilogue FLOPs for
-    # half the visits and per-visit loop overhead (benchmarks/exp_shadow64.py)
-    shadow_chunk_size: int = 0
+    # NOTE: a round-4 experiment routed OCCLUSION (any-mode) sweeps through a
+    # coarser-chunk pack (shadow_chunk_size 64/128) on the theory that shadow
+    # sweeps are visit-count-bound and the OR-reduce epilogue cheap. Measured
+    # WORSE on both framings (hit-heavy 171.3/194.4 vs 159.0 ms, headline
+    # 29.2/31.7 vs 26.6; benchmarks/exp_shadow64.py): coarser chunks test
+    # nearly 2x/4x the triangles per listed visit and the lists do not
+    # shrink proportionally. The knob was removed.
     # chunks tested per ray block (XLA chunked path). Scaled with the
     # chunk_size default (64->32) so shortlist*chunk_size coverage of the
     # APPROXIMATE chunked mode is unchanged.
@@ -301,14 +302,16 @@ class RenderConfig:
     # exact, shape-static, and the XLA shading work shrinks with the wavefront
     compact_levels: bool = True
     compact_buckets: int = 3               # capacities nt, nt/4, ..., nt/4^(b-1)
-    # second, LANE-granular compaction for bounce levels >= 2: capacity
-    # ladder cap, cap/4, ..., cap/4^(b-1) selected by live-lane count. 0
-    # disables (levels 2+ stay at the level-0 capacity). DEFAULT OFF: TPU
-    # row-granular gathers + scatter-adds measured ~130ms/frame at a 522k-lane
-    # rung (hit-heavy 1080p) and +1.2ms even on the sparse headline frame —
-    # more than the shrunken shading saves. Kept for scenes with deep cheap
-    # tails; revisit if a tile-granular deep scatter lands.
-    deep_buckets: int = 0
+    # second, TILE-granular compaction for bounce levels >= 2: capacity
+    # ladder cap, cap/4, ..., cap/4^(b-1) selected by live-TILE count (only
+    # re-hits survive past level 1, and children inherit their parent's
+    # lane, so tile structure persists). 0 disables (levels 2+ stay at the
+    # level-0 capacity). Round 4 replaced the former LANE-granular variant,
+    # whose row-granular gathers + per-lane scatter-adds measured
+    # ~130ms/frame at a 522k-lane rung; tile gathers/scatters are the same
+    # machinery the level-0 compaction uses (benchmarks/exp_deep_tiles.py
+    # measures the ladder on TPU).
+    deep_buckets: int = 2
     # batch each level's shadow rays with the next level's reflection rays
     # into ONE closest query (one sweep invocation per level instead of
     # lights+1) — amortizes feature-build/chunk-mask/launch fixed costs

@@ -32,6 +32,13 @@ BIG = 1e30  # "no hit" distance sentinel (FLT_MAX analog, Serial/ray.h:25)
 # ~1.07GB physical as the wide one, plus an extra gather pass. Kept only as
 # the A/B hook; default False.
 MAT_SPLIT = False
+# Materialize the 6 material columns as ONE barrier-pinned (R, 6) block
+# slice of the gathered table, then extract from that: XLA lays narrow
+# non-gather (R, k) arrays COLUMN-major ({0,1:T(...,128)}), so the six
+# per-column extracts become contiguous row reads instead of six strided
+# sweeps of the fat {1,0:T(8,128)} gather output (4.29ms each, 3x/frame at
+# hit-heavy 1080p — round-4 profile). benchmarks/exp_mat_block.py.
+MAT_BLOCK_SLICE = True
 # Transpose the gathered shade table to (25, R) once behind an
 # optimization_barrier so downstream column extracts become contiguous row
 # slices. MEASURED MUCH WORSE (hit-heavy 356.4 vs 160.0 ms, headline 32.5 vs
@@ -323,6 +330,11 @@ def hit_attributes(scene: Scene, ro: Array, rd: Array, t_fwd: Array, fam: Array,
             gcol = lambda j: gT[j]
             gmT = gT if gm is None else lax.optimization_barrier(gm.T)
             gmcol = (lambda j: gmT[18 + j]) if gm is None else (lambda j: gmT[j])
+        elif MAT_BLOCK_SLICE and gm is None:
+            gcol = lambda j: g[:, j]
+            gm_blk = lax.optimization_barrier(
+                lax.slice_in_dim(g, 18, 24, axis=1))    # (R, 6) column-major
+            gmcol = lambda j: gm_blk[:, j]
         else:
             gcol = lambda j: g[:, j]
             gmcol = (lambda j: g[:, 18 + j]) if gm is None else (lambda j: gm[:, j])

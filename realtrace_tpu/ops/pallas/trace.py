@@ -596,21 +596,14 @@ def _pack_for(perm, tri_vertices, c: int) -> AccelPack:
 def build_pack(scene: Scene, cfg: RenderConfig) -> AccelPack:
     """Precompute the sweep's scene-constant inputs (stop-gradient).
 
-    When ``cfg.shadow_chunk_size`` differs from ``cfg.chunk_size``, a second
-    pack at that granularity is attached for occlusion (any-mode) sweeps:
-    shadow rays cross the whole model toward the light, so their sweeps are
-    visit-count-bound and the cheap OR-reduce epilogue tolerates bigger
-    chunks — coarser chunks halve the per-visit loop overhead and the list
-    lengths at equal triangle-test FLOPs. Sibling 32-chunks of the median
-    split are spatially adjacent, so pairing them keeps AABBs tight."""
+    (A round-4 experiment attached a second coarser-chunk pack for any-mode
+    sweeps via ``pack.any_pack`` — measured a loser on every framing, see
+    benchmarks/exp_shadow64.py and the RenderConfig note; the hook remains
+    for experiments but no cfg knob sets it.)"""
     perm = scene.tri_chunk_perm
     if perm is None:
         raise ValueError("scene has no chunk permutation; call accel.with_chunks(scene, cfg)")
-    pack = _pack_for(perm, scene.tri_vertices, cfg.chunk_size)
-    c2 = cfg.shadow_chunk_size
-    if c2 and c2 != cfg.chunk_size:
-        pack.any_pack = _pack_for(perm, scene.tri_vertices, c2)
-    return pack
+    return _pack_for(perm, scene.tri_vertices, cfg.chunk_size)
 
 
 def closest_triangle(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,

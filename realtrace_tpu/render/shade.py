@@ -621,47 +621,55 @@ def trace_wavefront(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
                     return (ro_n, rd_n, coeff_n, put(accum, contrib), nrays), None
 
                 def deep_phase(carry):
-                    # ---- deep-level re-compaction, LANE-granular: levels
-                    # >= 2 run at a second, smaller width. Level 1 is as wide
-                    # as level 0's hits (every reflective hit spawns a
-                    # child), but only re-hits survive to level 2 — and they
-                    # scatter across tiles, so gather live LANES (stable
-                    # liveness sort keeps surviving neighbors adjacent for
-                    # the accel's chunk masks), not whole tiles. Widths come
-                    # from a lax.switch ladder; contributions scatter per
-                    # lane through a global pixel-slot map (pads/dead keep
-                    # contributing zeros through their own slots).
+                    # ---- deep-level re-compaction, TILE-granular: levels
+                    # >= 2 run at a second, smaller tile capacity. Level 1 is
+                    # as wide as level 0's hits (every reflective hit spawns
+                    # a child), but only RE-hits survive to level 2 —
+                    # typically a small fraction — and children inherit their
+                    # parent's lane, so tile structure persists. Gather live
+                    # TILES (the level-0 compaction machinery, applied
+                    # recursively): the per-level XLA shading work shrinks
+                    # with the live set while gathers/scatters stay
+                    # tile-granular and sorted. (The former LANE-granular
+                    # variant measured ~130ms/frame of row-granular gathers +
+                    # per-lane scatter-adds at a 522k-lane rung — replaced.)
                     ro_s, rd_s, coeff_s, t_s, fam_s, idx_s, accum, nrays_c = carry
-                    accum_f = accum.reshape(r, 3)
                     live2 = jnp.any(lax.stop_gradient(coeff_s) > 0.0, axis=-1)
-                    cnt2 = jnp.sum(live2, dtype=jnp.int32)
-                    # global pixel slot of each phase-A lane
-                    lane = jnp.arange(tile, dtype=jnp.int32)
-                    pix_a = (tsafe[:, None] * tile + lane[None, :]).reshape(-1)
-                    pix_a = jnp.where(jnp.repeat(tidx < nt, tile), pix_a, r)
-                    order2 = jnp.argsort(~live2, stable=True).astype(jnp.int32)
+                    live_tl2 = jnp.any(live2.reshape(cap, tile), axis=1)
+                    cnt2 = jnp.sum(live_tl2, dtype=jnp.int32)
                     caps2 = sorted({-(-cap // 4 ** k)
                                     for k in range(max(cfg.deep_buckets, 1))})
 
                     def deep_branch(cap2: int):
                         def db(op):
-                            ro_s, rd_s, coeff_s, t_s, fam_s, idx_s, accum_f, nrays_c = op
-                            sel = order2[:cap2 * tile]
+                            ro_s, rd_s, coeff_s, t_s, fam_s, idx_s, accum, nrays_c = op
+                            # live-tile ids in phase-A (cap) tile space; pads
+                            # get sentinel cap. Ascending + duplicate-free,
+                            # and tidx is ascending over its live prefix, so
+                            # the composed GLOBAL ids tg stay sorted.
+                            t2 = jnp.nonzero(live_tl2, size=cap2,
+                                             fill_value=cap)[0].astype(jnp.int32)
+                            t2safe = jnp.minimum(t2, cap - 1)
+                            tg = jnp.where(t2 < cap, tidx[t2safe], nt)
 
                             def h3(x):
-                                return x[sel]
+                                return x.reshape(cap, tile, 3)[t2safe].reshape(cap2 * tile, 3)
 
                             def h1(x):
-                                return x[sel]
+                                return x.reshape(cap, tile)[t2safe].reshape(cap2 * tile)
 
-                            padlive2 = live2[sel]
+                            def put2(acc, xc):
+                                return acc.at[tg].add(xc.reshape(cap2, tile, 3),
+                                                      mode="drop",
+                                                      indices_are_sorted=True)
+
+                            padlive2 = jnp.repeat(t2 < cap, tile)
                             ro2, rd2, coeff2 = h3(ro_s), h3(rd_s), h3(coeff_s)
                             coeff2 = jnp.where(padlive2[:, None], coeff2, 0.0)
-                            t2, fam2, idx2 = h1(t_s), h1(fam_s), h1(idx_s)
+                            tq2, fam2, idx2 = h1(t_s), h1(fam_s), h1(idx_s)
                             fam2 = jnp.where(padlive2, fam2, FAM_NONE)
-                            pix = jnp.where(padlive2, pix_a[sel], r)
 
-                            def step_pix(carry, is_last):
+                            def step_deep(carry, is_last):
                                 ro_s, rd_s, coeff_s, t, fam, idx, accum, nrays = carry
                                 hit = hit_attributes(scene, ro_s, rd_s, t, fam,
                                                      idx, cfg, pack=pack)
@@ -679,29 +687,25 @@ def trace_wavefront(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
                                                          coeff_s, valid, is_diel,
                                                          cfg, pack=pack,
                                                          shadowed=occ)
-                                accum = accum.at[pix].add(contrib, mode="drop")
                                 return (ro_n, rd_n, coeff_n, tn, famn, idxn,
-                                        accum, nrays), None
+                                        put2(accum, contrib), nrays), None
 
-                            carry2 = (ro2, rd2, coeff2, t2, fam2, idx2,
-                                      accum_f, nrays_c)
+                            carry2 = (ro2, rd2, coeff2, tq2, fam2, idx2,
+                                      accum, nrays_c)
                             xs2 = jnp.arange(cfg.max_depth - 1) == cfg.max_depth - 2
-                            carry2, _ = lax.scan(_level_ckpt(cfg)(step_pix),
+                            carry2, _ = lax.scan(_level_ckpt(cfg)(step_deep),
                                                  carry2, xs2)
                             coeff_d2, accum2, nrays2 = carry2[2], carry2[6], carry2[7]
-                            accum2 = accum2.at[pix].add(
-                                coeff_d2 * scene.background[None], mode="drop")
-                            return accum2, nrays2
+                            accum2 = put2(accum2, coeff_d2 * scene.background[None])
+                            return accum2.reshape(r, 3), nrays2
                         return db
 
                     def full_branch(op):
-                        # top rung (cap2 == cap): nothing shrinks, so skip the
-                        # lane gather + per-lane scatter entirely (full-width
-                        # arbitrary scatters cost SECONDS at 2M lanes on TPU)
-                        # and keep scanning at cap width with tile puts
-                        ro_s, rd_s, coeff_s, t_s, fam_s, idx_s, accum_f, nrays_c = op
+                        # top rung (cap2 == cap): nothing shrinks — keep
+                        # scanning at cap width with the phase-A tile puts
+                        ro_s, rd_s, coeff_s, t_s, fam_s, idx_s, accum, nrays_c = op
                         carry = (ro_s, rd_s, coeff_s, t_s, fam_s, idx_s,
-                                 accum_f.reshape(nt, tile, 3), nrays_c)
+                                 accum, nrays_c)
                         xs2 = jnp.arange(cfg.max_depth - 1) == cfg.max_depth - 2
                         carry, _ = lax.scan(_level_ckpt(cfg)(step_merged), carry, xs2)
                         coeff_d, accum2, nrays2 = carry[2], carry[6], carry[7]
@@ -709,10 +713,10 @@ def trace_wavefront(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
                         return accum2.reshape(r, 3), nrays2
 
                     branches = [deep_branch(c2) for c2 in caps2[:-1]] + [full_branch]
-                    b2 = jnp.sum(cnt2 > jnp.asarray(caps2, jnp.int32) * tile)
+                    b2 = jnp.sum(cnt2 > jnp.asarray(caps2, jnp.int32))
                     return lax.switch(b2, branches,
                                       (ro_s, rd_s, coeff_s, t_s, fam_s, idx_s,
-                                       accum_f, nrays_c))
+                                       accum, nrays_c))
 
                 if merged:
                     carry = (ro_r, rd_r, coeff_r, *q1, accum,

@@ -36,8 +36,8 @@ def reflective_scene(dtype=jnp.float32):
 
 def _cfgs(accel_mode):
     base = RenderConfig(max_depth=4, accel=accel_mode, chunk_size=32)
-    # deep_buckets=3 keeps the (default-off) lane-granular deep re-compaction
-    # covered: it must also be invisible
+    # deep_buckets=3 exercises the tile-granular deep re-compaction ladder
+    # (levels >= 2 at a second, smaller tile capacity): it must be invisible
     on = dataclasses.replace(base, compact_levels=True, compact_buckets=4,
                              deep_buckets=3)
     off = dataclasses.replace(base, compact_levels=False)

@@ -85,15 +85,17 @@ def test_pallas_matches_bruteforce_interpret():
     assert (ip[both] == ib[both]).mean() > 0.99  # ties may differ
 
 
-def test_shadow_chunk_size_occlusion_matches_bruteforce():
-    """cfg.shadow_chunk_size routes ONLY any-mode (occlusion) sweeps through
-    a coarser-chunk pack; the occlusion verdicts must be identical to brute
-    force, and closest queries must be untouched by the knob."""
+def test_any_pack_occlusion_matches_bruteforce():
+    """pack.any_pack routes ONLY any-mode (occlusion) sweeps through a
+    different-granularity pack (experiment hook; the cfg knob was removed as
+    a measured loser — exp_shadow64.py); occlusion verdicts must be
+    identical to brute force, and closest queries must ride the main pack."""
     scene = random_scene()
-    cfg = RenderConfig(accel="pallas", chunk_size=32, shadow_chunk_size=64)
+    cfg = RenderConfig(accel="pallas", chunk_size=32)
     scene = accel.with_chunks(scene, cfg)
     pack = trace.build_pack(scene, cfg)
-    assert pack.any_pack is not None and pack.any_pack.chunk_size == 64
+    pack.any_pack = trace._pack_for(scene.tri_chunk_perm, scene.tri_vertices, 64)
+    assert pack.any_pack.chunk_size == 64
     ro, rd = random_rays()
     occ = np.asarray(trace.any_triangle(scene, ro, rd, cfg, pack=pack))
     t, _, _ = intersect.triangle_test(ro, rd, scene.tri_vertices,
