@@ -309,8 +309,10 @@ class RenderConfig:
     # level-0 capacity). Round 4 replaced the former LANE-granular variant,
     # whose row-granular gathers + per-lane scatter-adds measured
     # ~130ms/frame at a 522k-lane rung; tile gathers/scatters are the same
-    # machinery the level-0 compaction uses (benchmarks/exp_deep_tiles.py
-    # measures the ladder on TPU).
+    # machinery the level-0 compaction uses. Measured (same-session A/B,
+    # benchmarks/exp_deep_tiles.py, 1080p depth-3): hit-heavy 167.5 -> 116.0
+    # ms (+44% throughput), headline 26.3 -> 26.7 ms; deep_buckets=3 adds
+    # nothing over 2 (115.8 hh) and costs the headline another 0.3 ms.
     deep_buckets: int = 2
     # batch each level's shadow rays with the next level's reflection rays
     # into ONE closest query (one sweep invocation per level instead of
