@@ -37,7 +37,9 @@ MAT_SPLIT = False
 # non-gather (R, k) arrays COLUMN-major ({0,1:T(...,128)}), so the six
 # per-column extracts become contiguous row reads instead of six strided
 # sweeps of the fat {1,0:T(8,128)} gather output (4.29ms each, 3x/frame at
-# hit-heavy 1080p — round-4 profile). benchmarks/exp_mat_block.py.
+# hit-heavy 1080p — round-4 profile). Measured (same-session A/B,
+# benchmarks/exp_mat_block.py): hit-heavy 119.7 -> 115.3 ms, headline
+# 27.2 -> 26.7 ms.
 MAT_BLOCK_SLICE = True
 # Transpose the gathered shade table to (25, R) once behind an
 # optimization_barrier so downstream column extracts become contiguous row
