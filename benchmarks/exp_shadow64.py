@@ -7,8 +7,13 @@ cheap. Hypothesis: any-mode sweeps at chunk 64 (cfg.shadow_chunk_size) halve
 visits and per-visit loop overhead at equal triangle-test FLOPs, while the
 closest sweeps keep chunk 32 (where min/argmin epilogue cost dominates).
 
-Measures hit-heavy + headline 1080p for shadow_chunk_size in {0, 64, 128}.
-Run: python benchmarks/exp_shadow64.py (TPU).
+Measures hit-heavy + headline 1080p for any-mode chunk sizes {0, 64, 128}.
+
+RESULT (round 4): a LOSER on every framing — hit-heavy 171.3/194.4 ms
+(64/128) vs 159.0 baseline; headline 29.2/31.7 vs 26.6. Coarser chunks test
+~2x/4x the triangles per listed visit and the lists don't shrink enough.
+The cfg knob was removed; this script drives the remaining pack.any_pack
+hook directly. Run: python benchmarks/exp_shadow64.py (TPU).
 """
 from __future__ import annotations
 
@@ -23,6 +28,9 @@ import bench
 from realtrace_tpu.apps import scenes
 from realtrace_tpu.core.types import RenderConfig
 from realtrace_tpu.ops import accel
+from realtrace_tpu.ops.pallas import trace as ptrace
+
+_ORIG_BUILD = ptrace.build_pack
 
 
 def main():
@@ -34,14 +42,22 @@ def main():
                                 dtype=jnp.float32)
 
     for c2 in (0, 64, 128):
-        cfg = RenderConfig(max_depth=depth, accel="pallas", chunk_size=32,
-                           shadow_chunk_size=c2)
+        def build(scene_, cfg_, c2=c2):
+            pack = _ORIG_BUILD(scene_, cfg_)
+            if c2:
+                pack.any_pack = ptrace._pack_for(
+                    scene_.tri_chunk_perm, scene_.tri_vertices, c2)
+            return pack
+
+        ptrace.build_pack = build
+        cfg = RenderConfig(max_depth=depth, accel="pallas", chunk_size=32)
         sc = accel.with_chunks(scene, cfg)
         fb = bench.FrameBench(sc, cfg)
         for tag, camera in (("hh", cam_hh), ("head", cam_head)):
             dt, nrays, acc = fb.measure(camera, f"c2={c2}:{tag}", reps)
             print(f"shadow_chunk={c2} {tag}: {dt*1e3:.1f} ms  "
                   f"{nrays/dt/1e6:.1f} Mrays/s  checksum {acc:.5f}", flush=True)
+    ptrace.build_pack = _ORIG_BUILD
 
 
 if __name__ == "__main__":
