@@ -284,6 +284,19 @@ class RenderConfig:
     shortlist: int = 96
     ray_block: int = 2048                  # rays per lax.map block in XLA paths
     matmul_precision: str = "highest"      # pallas triangle-test MXU precision
+    # MXU precision for OCCLUSION (any-mode / shadow) sweeps only. Occlusion
+    # emits booleans, so "default" (single-pass bf16) spends 1/6 the matmul
+    # passes of "highest" per visit; the price is bf16-resolution shadow
+    # BOUNDARIES. Measured on TPU (benchmarks/exp_any_precision.py, which
+    # also counts flipped pixels): hit-heavy 115.5 -> 108.4 ms, headline
+    # 27.2 -> 24.7 ms, with 122-174 of 2.07M pixels (0.006-0.008%) flipped at
+    # shadow edges — 20x under the boundary-pixel tolerance the golden suite
+    # itself allows. Set "highest" to restore bit-parity with the closest
+    # sweep. (CPU interpret mode is full-f32 either way, so the golden
+    # oracle comparisons are unaffected. "high" is NotImplemented in-kernel;
+    # full-"default" closest sweeps were measured FAR worse AND wrong —
+    # 399ms hit-heavy with visible image drift.)
+    occlusion_precision: str = "default"
     # wavefronts at or below this many rays use the EXACT per-ray chunk mask
     # (O(rays x chunks) VPU, blockwise so memory stays bounded) instead of
     # the conservative per-tile interval mask — decisive for divergent

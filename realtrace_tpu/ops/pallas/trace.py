@@ -307,11 +307,6 @@ def _kernel_stream(meta_ref, list_ref, count_ref, entry_ref, feat_ref, b_ref,
 _PRECISIONS = {"default": lax.Precision.DEFAULT, "high": lax.Precision.HIGH,
                "highest": lax.Precision.HIGHEST}
 
-# MXU precision for OCCLUSION (any-mode) sweeps; None = cfg.matmul_precision.
-# Occlusion emits only booleans, and HIGH (3-pass bf16 "f32-faithful"
-# emulation) vs HIGHEST (6-pass) halves the matmul cost per visit
-# (benchmarks/exp_any_precision.py measures time + checksum drift).
-ANY_PRECISION: str | None = None
 
 
 @functools.partial(jax.jit, static_argnames=("chunk_size", "det_eps", "t_min",
@@ -662,7 +657,7 @@ def closest_triangle(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
     t, idx = _sweep(meta, chunk_list, counts, entry, feat, b, c,
                     float(cfg.det_epsilon), float(cfg.smallest_dist),
                     interpret, any_mode,
-                    (ANY_PRECISION if any_mode and ANY_PRECISION
+                    (cfg.occlusion_precision if any_mode
                      else cfg.matmul_precision), resident)
     t = t.reshape(-1)[:r].astype(ro.dtype)
     idx = idx.reshape(-1)[:r]
