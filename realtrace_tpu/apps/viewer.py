@@ -346,6 +346,10 @@ class Viewer:
         n = len(cams)
         pad = (-n) % batch
         cams = cams + [cams[-1]] * pad               # repeat-final padding
+        # warmup: absorb the jit compile outside the timed loop (the
+        # per-frame path does the same via its initial render())
+        warm = jtu.tree_map(lambda *xs: jax.numpy.stack(xs), *cams[:batch])
+        jax.block_until_ready(self._frame_batch(self.scene, warm)[0])
         t0 = time.perf_counter()
         total_rays = 0.0
         for s in range(0, len(cams), batch):
