@@ -45,7 +45,6 @@ LANES = 1024          # rays per kernel grid step. Wider steps (2048/4096)
                       # launch-bound, and 2-tile chunk-list unions grow the
                       # visit count (docs/KERNEL.md round-2 findings)
 FEAT = 16             # feature rows: [1, ro(3), rd(3), q(3), inv(3), pad(3)]
-FEAT_PAD = 128        # K pad for the streaming path's DMA alignment
 RESIDENT_LIMIT = 6 * 1024 * 1024  # max B bytes kept VMEM-resident
 
 
@@ -230,21 +229,29 @@ def _kernel_stream(meta_ref, list_ref, count_ref, entry_ref, feat_ref, b_ref,
                    out_t_ref, out_i_ref, b_scratch, a2_scratch, dma_sems, *,
                    chunk_size: int, det_eps: float, t_min: float,
                    any_mode: bool, precision):
-    """Streaming variant for scenes too big for VMEM: per-chunk (4C, FEAT_PAD)
+    """Streaming variant for scenes too big for VMEM: per-chunk (FEAT, 4C)
     constants double-buffer-DMA'd from HBM, prefetch overlapping the matmul.
+
+    The per-chunk slices use the SAME transposed-LHS layout as the resident
+    table — (FEAT, 4C), lane dim 4C, zero padding — so each visit moves
+    exactly 16KB (c=64) instead of the former (4C, FEAT_PAD=128) layout's
+    131KB (the f32 lane padding made every fetch 8x its useful bytes; the
+    round-4 bob x4 capture was DMA-bound at 15.2 Mrays/s because of it).
+    The transposed contraction is the native MXU mode the resident kernel
+    already uses.
 
     Has the SAME front-to-back early exit as the resident kernel (the
     big-scene case is exactly where skipping far chunks matters most): the
     prefetch runs one chunk ahead of the compute, so an early exit wastes at
     most the single in-flight fetch, which the epilogue drains."""
     c = chunk_size
+    fc = 4 * c
     a = feat_ref[:]
     n = count_ref[0, 0, 0]
 
     a2_scratch[0:1] = a[0:1]
     a2_scratch[4:7] = a[4:7]
-    # zero the unused K rows once (0 * garbage-NaN would poison the matmul)
-    a2_scratch[10:] = jnp.zeros((FEAT_PAD - 10, LANES), jnp.float32)
+    a2_scratch[10:FEAT] = jnp.zeros((FEAT - 10, LANES), jnp.float32)
     parked = a[1:2] == PARK_DISTANCE                 # (1, LANES) dead lanes
 
     def start_fetch(j, slot):
@@ -271,9 +278,10 @@ def _kernel_stream(meta_ref, list_ref, count_ref, entry_ref, feat_ref, b_ref,
         _recenter(a, a2_scratch, m, meta_ref)
         pltpu.make_async_copy(b_ref.at[m], b_scratch.at[slot],
                               dma_sems.at[slot]).wait()
-        bm = b_scratch[slot]                         # (4C, FEAT_PAD)
-        p = jnp.dot(bm, a2_scratch[:], preferred_element_type=jnp.float32,
-                    precision=precision)             # (4C, LANES)
+        bm = b_scratch[slot]                         # (FEAT, 4C)
+        p = lax.dot_general(bm, a2_scratch[:], (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=precision)     # (4C, LANES)
         best_t, best_i = _reduce_update(p, best_t, best_i, m, c, det_eps,
                                         t_min, any_mode)
         nj = j + 1
@@ -332,8 +340,8 @@ def _sweep(meta, chunk_list, counts, entry, feat, b, chunk_size: int,
                                  det_eps=det_eps, t_min=t_min, any_mode=any_mode,
                                  precision=_PRECISIONS[precision])
         scratch = [
-            pltpu.VMEM((2, fc, FEAT_PAD), jnp.float32),  # DMA double buffer
-            pltpu.VMEM((FEAT_PAD, LANES), jnp.float32),  # recentered features
+            pltpu.VMEM((2, FEAT, fc), jnp.float32),    # DMA double buffer
+            pltpu.VMEM((FEAT, LANES), jnp.float32),    # recentered features
             pltpu.SemaphoreType.DMA((2,)),
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -588,9 +596,10 @@ def _pack_for(perm, tri_vertices, c: int) -> AccelPack:
         # full-lane (FEAT, M*4C) layout: no tile-padding waste in VMEM
         b = b.transpose(2, 0, 1).reshape(FEAT, m * 4 * c)
     else:
-        # streaming layout: K padded so per-chunk DMA slices are 128-aligned
-        pad_k = jnp.zeros(b.shape[:2] + (FEAT_PAD - FEAT,), b.dtype)
-        b = jnp.concatenate([b, pad_k], axis=-1)              # (M, 4C, 128)
+        # streaming layout: per-chunk (FEAT, 4C) transposed-LHS slices —
+        # lane dim 4C, zero padding, 16KB/visit at c=64 (the former
+        # (4C, FEAT_PAD=128) layout DMA'd 8x the useful bytes per visit)
+        b = b.transpose(0, 2, 1)                              # (M, FEAT, 4C)
     return AccelPack(b, centroid, lo, hi, perm, resident, c)
 
 
