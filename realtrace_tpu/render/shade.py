@@ -341,6 +341,114 @@ def _compact_children(child_r, child_t, pix: Array):
     return ro2[order], rd2[order], coeff2[order], pix2[order], dropped
 
 
+def _compact_children_tiles(child_r, child_t, tile_pix: Array, nt: int):
+    """Fold a level's (reflect ‖ refract) children — 2·K_t candidate TILES —
+    back to K_t tiles by TILE-liveness compaction.
+
+    Children inherit their parent's lane, so tile structure survives
+    branching; compacting whole 1024-lane tiles replaces the lane variant's
+    full-width argsort + per-lane row gathers + per-lane contribution
+    scatters (profiled ~375 ms/frame at 1080p — fusion.2884 et al.,
+    docs/KERNEL.md round-4) with a ~4k-element sort and tile-granular
+    gathers. ``tile_pix`` maps each tile to its OUTPUT pixel tile in
+    nt-space (``nt`` = drop sentinel); duplicates are expected (a parent's
+    reflect and refract tiles both map to the parent's pixel tile).
+    Capacity/overflow semantics as the lane version, at tile granularity:
+    the total coefficient mass of live tiles beyond capacity is returned
+    (bounds the image error; tests/test_branching.py pins both regimes
+    through the flat path, tests/test_compaction.py the equality here)."""
+    tile = WAVEFRONT_TILE
+    kt = tile_pix.shape[0]
+    ro2 = jnp.concatenate([child_r[0], child_t[0]])      # (2*kt*tile, 3)
+    rd2 = jnp.concatenate([child_r[1], child_t[1]])
+    coeff2 = jnp.concatenate([child_r[2], child_t[2]])
+    tp2 = jnp.concatenate([tile_pix, tile_pix])          # (2*kt,)
+    mass_lane = jnp.sum(lax.stop_gradient(coeff2), axis=-1).astype(jnp.float32)
+    mass_tile = jnp.sum(mass_lane.reshape(2 * kt, tile), axis=1)
+    live = mass_tile > 0.0
+    order = jnp.argsort(~live, stable=True).astype(jnp.int32)
+    sel = order[:kt]
+    tail = order[kt:]
+    dropped = jnp.sum(jnp.where(live[tail], mass_tile[tail], 0.0))
+
+    def g3(x):
+        return x.reshape(2 * kt, tile, 3)[sel].reshape(kt * tile, 3)
+
+    tp_new = jnp.where(live[sel], tp2[sel], nt)          # dead tiles -> drop
+    return g3(ro2), g3(rd2), g3(coeff2), tp_new, dropped
+
+
+def _branch_entry_tiles(scene: Scene, ro0: Array, rd0: Array, coeff0: Array,
+                        tidx: Array, nt: int, accum: Array, cfg: RenderConfig,
+                        pack, count_rays, q0):
+    """Level 0 of the TILE-granular dielectric wavefront.
+
+    ``tidx`` maps the cap parent tiles to pixel tiles (pads = nt, dropped);
+    ``accum`` is the (nt, tile, 3) tile-shaped accumulator. Shades level 0
+    (contribution scattered tile-granularly, sorted indices), spawns the
+    (reflect ‖ refract) children as 2·cap tiles, and issues the merged
+    query. Level-0 ray counting is the caller's (full-width) job."""
+    t0, fam0, idx0 = q0
+    hit0 = hit_attributes(scene, ro0, rd0, t0, fam0, idx0, cfg, pack=pack)
+    valid0, isd0, child_r, child_t = _children_geom(scene, hit0, ro0, rd0,
+                                                    coeff0, cfg)
+    ro_k = jnp.concatenate([child_r[0], child_t[0]])
+    rd_k = jnp.concatenate([child_r[1], child_t[1]])
+    coeff_k = jnp.concatenate([child_r[2], child_t[2]])
+    tp_k = jnp.concatenate([tidx, tidx])
+    if cfg.max_depth == 0:   # children are never consumed: park their query
+        ro_q, rd_q = _park_dead(ro_k, rd_k, jnp.zeros((ro_k.shape[0],), bool))
+    else:
+        ro_q, rd_q = ro_k, rd_k
+    occ0, [qk] = _merged_query(scene, hit0, valid0, (ro_q, rd_q, coeff_k),
+                               cfg, pack=pack)
+    contrib0 = _local_contrib(scene, hit0, rd0, coeff0, valid0, isd0, cfg,
+                              pack=pack, miss_background=False, shadowed=occ0)
+    cap = tidx.shape[0]
+    accum = accum.at[tidx].add(contrib0.reshape(cap, WAVEFRONT_TILE, 3),
+                               mode="drop", indices_are_sorted=True)
+    return (ro_k, rd_k, coeff_k, tp_k, *qk, accum,
+            jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32))
+
+
+def _branch_levels_tiles(scene: Scene, cfg: RenderConfig, pack, carry,
+                         count_rays, nt: int):
+    """Dielectric bounce levels 1..max_depth, TILE-granular: the lane-based
+    ``_branch_levels`` with tile compaction + tile-granular contribution
+    scatters (unsorted + duplicate tile ids — a parent's two child tiles
+    share an output tile — but only ~4k index rows)."""
+    tile = WAVEFRONT_TILE
+
+    def step(carry, is_last):
+        ro_s, rd_s, coeff_s, tp, t, fam, idx, accum, nrays, dropped = carry
+        kt = tp.shape[0]
+        hit = hit_attributes(scene, ro_s, rd_s, t, fam, idx, cfg, pack=pack)
+        nrays = nrays + count_rays(coeff_s, hit)
+        valid, is_diel, child_r, child_t = _children_geom(scene, hit, ro_s,
+                                                          rd_s, coeff_s, cfg)
+        ro_n, rd_n, coeff_n, tp_n, drop_l = _compact_children_tiles(
+            child_r, child_t, tp, nt)
+        dropped = dropped + drop_l
+        ro_q, rd_q = _park_dead(ro_n, rd_n,
+                                jnp.broadcast_to(~is_last, (ro_n.shape[0],)))
+        occ, [qn] = _merged_query(scene, hit, valid, (ro_q, rd_q, coeff_n),
+                                  cfg, pack=pack)
+        contrib = _local_contrib(scene, hit, rd_s, coeff_s, valid, is_diel,
+                                 cfg, pack=pack, shadowed=occ)
+        accum = accum.at[tp].add(contrib.reshape(kt, tile, 3), mode="drop")
+        return (ro_n, rd_n, coeff_n, tp_n, *qn, accum, nrays, dropped), None
+
+    if cfg.max_depth > 0:
+        xs = jnp.arange(cfg.max_depth) == cfg.max_depth - 1
+        carry, _ = lax.scan(_level_ckpt(cfg)(step), carry, xs)
+    _, _, coeff_f, tp_f, _, _, _, accum, nrays, dropped = carry
+    # depth-exceeded live children → background
+    kt = tp_f.shape[0]
+    accum = accum.at[tp_f].add(
+        (coeff_f * scene.background[None]).reshape(kt, tile, 3), mode="drop")
+    return accum, nrays, dropped
+
+
 def _branch_entry(scene: Scene, ro0: Array, rd0: Array, coeff0: Array,
                   pix0: Array, accum: Array, cfg: RenderConfig, pack,
                   count_rays, q0=None, miss_background: bool = True,
@@ -798,20 +906,19 @@ def trace_wavefront(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
             padlive = jnp.repeat(tidx < nt, tile)
             coeff_c = jnp.where(padlive[:, None], coeff_c, 0.0)
             fam_c = jnp.where(padlive, fam_c, FAM_NONE)
-            # per-lane pixel-slot map: compacted children migrate across
-            # tiles, so contributions scatter per lane; pads get the
-            # out-of-range sentinel r (dropped by the scatter)
-            lane = jnp.arange(tile, dtype=jnp.int32)
-            pix = jnp.where(padlive,
-                            (tsafe[:, None] * tile + lane[None, :]).reshape(-1),
-                            r)
-            # level 0 was already counted at FULL width in nrays0 (active
-            # misses outside hit tiles included) — entry must not recount
-            carry = _branch_entry(scene, ro_c, rd_c, coeff_c, pix, accum0,
-                                  cfg, pack, count_rays,
-                                  q0=(t_c, fam_c, idx_c.astype(jnp.int32)),
-                                  miss_background=False, count_level0=False)
-            return _branch_levels(scene, cfg, pack, carry, count_rays)
+            # TILE-granular wavefront: children inherit their parent's lane,
+            # so tiles never mix pixels — contributions scatter per TILE
+            # through the tidx/tile_pix maps and children compact per tile
+            # (the former per-lane pix machinery profiled ~375ms/frame;
+            # docs/KERNEL.md round-4). Level 0 was already counted at FULL
+            # width in nrays0 — the entry must not recount it.
+            carry = _branch_entry_tiles(scene, ro_c, rd_c, coeff_c, tidx, nt,
+                                        accum0.reshape(nt, tile, 3), cfg,
+                                        pack, count_rays,
+                                        q0=(t_c, fam_c, idx_c.astype(jnp.int32)))
+            accum_t, nrays_d, dropped = _branch_levels_tiles(
+                scene, cfg, pack, carry, count_rays, nt)
+            return accum_t.reshape(r, 3), nrays_d, dropped
         return br
 
     b = jnp.sum(cnt > caps_arr)
