@@ -322,6 +322,12 @@ class RenderConfig:
     # level-0 capacity). Round 4 replaced the former LANE-granular variant,
     # whose row-granular gathers + per-lane scatter-adds measured
     # ~130ms/frame at a 522k-lane rung; tile gathers/scatters are the same
+    # rung ladder for the TILE-granular dielectric (branching) wavefront:
+    # the entry emits 2*cap child tiles but ordinary scenes keep only a
+    # fraction live; bounce levels run at the smallest rung 2*cap/2^k that
+    # fits the live-tile count (lax.switch; overflow mass reported like the
+    # per-level compaction). benchmarks/bench_branching.py measures it.
+    branch_buckets: int = 2
     # machinery the level-0 compaction uses. Measured (same-session A/B,
     # benchmarks/exp_deep_tiles.py, 1080p depth-3): hit-heavy 167.5 -> 116.0
     # ms (+44% throughput), headline 26.3 -> 26.7 ms; deep_buckets=3 adds

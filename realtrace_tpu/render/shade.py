@@ -411,6 +411,54 @@ def _branch_entry_tiles(scene: Scene, ro0: Array, rd0: Array, coeff0: Array,
             jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32))
 
 
+def _branch_rung_ladder(scene: Scene, cfg: RenderConfig, pack, carry,
+                        count_rays, nt: int):
+    """Capacity ladder for the tile-granular dielectric wavefront: the entry
+    always emits 2·cap child tiles (reflect ‖ refract blocks), but on
+    ordinary scenes only a fraction are live (dielectric pixels are a
+    minority). Select the smallest rung 2·cap / 2^k that fits the live-tile
+    count ONCE (lax.switch, like the level-0 and deep-level ladders), gather
+    live tiles first, and run every bounce level at that width. Overflowing
+    live tiles' mass is added to the dropped-mass stat (same reported-drop
+    semantics as ``_compact_children_tiles``)."""
+    ro_k, rd_k, coeff_k, tp_k, t, fam, idx, accum, nrays, dropped = carry
+    tile = WAVEFRONT_TILE
+    k0 = tp_k.shape[0]                           # 2*cap child tiles
+    mass = jnp.sum(lax.stop_gradient(coeff_k), axis=-1).astype(jnp.float32)
+    mass_t = jnp.sum(mass.reshape(k0, tile), axis=1)
+    live = mass_t > 0.0
+    cnt = jnp.sum(live, dtype=jnp.int32)
+    rungs = sorted({-(-k0 // 2 ** k) for k in range(max(cfg.branch_buckets, 1))})
+
+    def rung(kcap: int):
+        def f(op):
+            ro_k, rd_k, coeff_k, tp_k, t, fam, idx, accum, nrays, dropped = op
+            order = jnp.argsort(~live, stable=True).astype(jnp.int32)
+            sel = order[:kcap]
+            tail = order[kcap:]
+            dropped = dropped + jnp.sum(jnp.where(live[tail], mass_t[tail], 0.0))
+
+            def g3(x):
+                return x.reshape(k0, tile, 3)[sel].reshape(kcap * tile, 3)
+
+            def g1(x):
+                return x.reshape(k0, tile)[sel].reshape(kcap * tile)
+
+            tp2 = jnp.where(live[sel], tp_k[sel], nt)
+            carry2 = (g3(ro_k), g3(rd_k), g3(coeff_k), tp2,
+                      g1(t), g1(fam), g1(idx), accum, nrays, dropped)
+            return _branch_levels_tiles(scene, cfg, pack, carry2, count_rays, nt)
+        return f
+
+    def full(op):
+        return _branch_levels_tiles(scene, cfg, pack, op, count_rays, nt)
+
+    branches = [_level_ckpt(cfg)(rung(k)) for k in rungs[:-1]] \
+        + [_level_ckpt(cfg)(full)]
+    b = jnp.sum(cnt > jnp.asarray(rungs, jnp.int32))
+    return lax.switch(b, branches, carry)
+
+
 def _branch_levels_tiles(scene: Scene, cfg: RenderConfig, pack, carry,
                          count_rays, nt: int):
     """Dielectric bounce levels 1..max_depth, TILE-granular: the lane-based
@@ -916,7 +964,7 @@ def trace_wavefront(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
                                         accum0.reshape(nt, tile, 3), cfg,
                                         pack, count_rays,
                                         q0=(t_c, fam_c, idx_c.astype(jnp.int32)))
-            accum_t, nrays_d, dropped = _branch_levels_tiles(
+            accum_t, nrays_d, dropped = _branch_rung_ladder(
                 scene, cfg, pack, carry, count_rays, nt)
             return accum_t.reshape(r, 3), nrays_d, dropped
         return br
