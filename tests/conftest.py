@@ -34,3 +34,17 @@ def reference_assets():
     if not p.exists():
         pytest.skip("reference assets not mounted")
     return p
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Release compiled-executable state between test modules.
+
+    The suite compiles hundreds of distinct XLA CPU programs in one process;
+    past a volume threshold the NEXT backend compile can segfault inside
+    jaxlib (observed at test_golden after the round-4 branching-compaction
+    programs joined the suite; each test passes standalone). Dropping the
+    in-process executable caches per module keeps the resident compiled-code
+    volume bounded at the cost of re-tracing shared helpers."""
+    yield
+    jax.clear_caches()
