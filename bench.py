@@ -13,11 +13,18 @@ Default output (in order; the HEADLINE stays the LAST line for the driver):
      AND the hit-heavy framing (where the remat residuals are ~4x larger)
   3. full train-step time (grad wrt verts+colors+materials+lights + adam +
      per-step device chunk re-sort — BASELINE config 4 at 1080p)
-  4. streaming/resident frame-time ratio on bob x2 (HBM-streaming kernel
+  4. branching DIELECTRIC wavefront Mrays/s (bob + glass sphere — the
+     reference's flagship Fresnel-split semantics)
+  5. streaming/resident frame-time ratio on bob x2 (HBM-streaming kernel
      overhead vs the VMEM-resident table, same scene)
-  5. bob x4 (42.7k tris) — the GENUINE over-VMEM streaming configuration
-  6. depth-10 forward Mrays/s (the reference's RECURSION_DEPTH)
-  7. HEADLINE: forward Mrays/s, 1080p bob_tri.obj depth-3, reference framing
+  6. bob x4 (42.7k tris) — the GENUINE over-VMEM streaming configuration
+  7. depth-10 forward Mrays/s (the reference's RECURSION_DEPTH)
+  8. HEADLINE: forward Mrays/s, 1080p bob_tri.obj depth-3, reference framing
+
+Every leg runs FAULT-ISOLATED (run_leg): a tunnel exception in one leg logs
+a {"leg_failed": ...} line and continues; at process end the full captured
+metric set is re-emitted so the artifact tail always carries every line, the
+headline last; exit status is 0 iff the headline leg succeeded.
 
 Measurement discipline (CLAUDE.md): the remote-TPU tunnel adds 10-20 ms per
 dispatch, serves IDENTICAL executions from a cache, and intermittently stalls
@@ -30,9 +37,10 @@ never poison the result). All attempt spreads are logged to stderr.
 
 Env knobs: RT_BENCH_WIDTH/HEIGHT/DEPTH/REPEATS, RT_BENCH_ACCEL
 (chunked|bruteforce|pallas), RT_BENCH_CHUNK, RT_BENCH_SMOKE=1 for a tiny CPU
-smoke run (headline only), RT_BENCH_HITHEAVY/GRAD/TRAIN/STREAM/BIG/DEPTH10=0
-to skip a secondary metric, RT_BENCH_MIN_ATTEMPTS / RT_BENCH_MAX_ATTEMPTS,
-RT_JAX_CACHE (persistent compilation cache dir; default .jax_cache).
+smoke run (headline only), RT_BENCH_HITHEAVY/GRAD/TRAIN/BRANCHING/STREAM/BIG/
+DEPTH10=0 to skip a secondary metric, RT_BENCH_MIN_ATTEMPTS /
+RT_BENCH_MAX_ATTEMPTS, RT_JAX_CACHE (persistent compilation cache dir;
+default .jax_cache).
 """
 from __future__ import annotations
 
@@ -136,12 +144,37 @@ class FrameBench:
         return dt, nrays, acc
 
 
+#: every record emitted this run, in order — re-emitted at process end so the
+#: artifact TAIL always contains the full metric set even if a late leg died
+#: mid-print (the round-4 failure mode: one tunnel exception aborted the
+#: remaining legs AND truncated the earlier lines out of the captured tail)
+_EMITTED: list[dict] = []
+
+
 def emit(metric: str, value: float, unit: str, vs_baseline=None, **extra):
     rec = {"metric": metric, "value": round(value, 3), "unit": unit,
            "vs_baseline": (round(vs_baseline, 4)
                            if vs_baseline is not None else None)}
     rec.update(extra)
+    _EMITTED.append(rec)
     print(json.dumps(rec), flush=True)
+
+
+def run_leg(name: str, fn, attempts: int = 1) -> bool:
+    """Run one bench leg fault-isolated: a tunnel flake in any leg must never
+    abort the remaining legs or the final re-emit (round-4 postmortem —
+    BENCH_r04 rc=1 lost the headline because the bigscene leg crashed)."""
+    import traceback
+    for k in range(attempts):
+        try:
+            fn()
+            return True
+        except Exception as e:                          # noqa: BLE001
+            _log(f"[bench:{name}] LEG FAILED (try {k + 1}/{attempts}):\n"
+                 + traceback.format_exc())
+            err = f"{type(e).__name__}: {e}"
+    print(json.dumps({"leg_failed": name, "error": err[:300]}), flush=True)
+    return False
 
 
 def bench_grad_ratio(scene, camera, cfg, t_fwd: float, reps: int,
@@ -298,6 +331,30 @@ def bench_stream_ratio(width: int, height: int, reps: int) -> None:
          streaming_mrays=round(nrays / dt_str / 1e6, 2))
 
 
+def bench_branching(width: int, height: int, depth: int, reps: int) -> None:
+    """The branching DIELECTRIC wavefront (tile-granular compacted
+    reflect-and-refract children): bob + a glass sphere, the scene class that
+    exercises the reference's flagship semantics (Serial/world.cpp:77-100,
+    Parellel/kernel.cu:190-256)."""
+    from realtrace_tpu.apps import scenes
+    from realtrace_tpu.core.types import RenderConfig
+    from realtrace_tpu.ops import accel
+
+    cfg = RenderConfig(max_depth=depth, accel="pallas", chunk_size=32)
+    scene, cam = scenes.glass_bob_scene(
+        texture_path="/root/reference/Serial/bob_diffuse.png")
+    assert scene.has_dielectrics()
+    scene = accel.with_chunks(scene, cfg)
+    camera = scenes.make_camera(cam, width, height, dtype=jnp.float32)
+    fb = FrameBench(scene, cfg, branching=True)
+    dt, nrays, _ = fb.measure(camera, "branching", reps)
+    mrays = nrays / dt / 1e6
+    emit(f"forward Mrays/s/chip {width}x{height} bob + glass sphere "
+         f"depth-{depth} (branching dielectric wavefront)",
+         mrays, "Mrays/s", mrays / BASELINE_MRAYS,
+         frame_ms=round(dt * 1e3, 2))
+
+
 def main() -> None:
     smoke = os.environ.get("RT_BENCH_SMOKE") == "1"
     if smoke:
@@ -336,61 +393,89 @@ def main() -> None:
     camera = scenes.make_camera(cam, width, height, dtype=jnp.float32)
 
     fb = FrameBench(scene, cfg)
+    secondary_reps = max(2, repeats // 3)
+    hl: dict = {}        # headline leg results, shared with the grad legs
+    headline = (f"forward Mrays/s/chip {width}x{height} bob_tri.obj "
+                f"depth-{depth} ({accel_mode})")
 
     # -- headline first (most protected from tunnel trouble), emitted
     # immediately so the capture always has it — and RE-emitted at the end so
-    # it is also the LAST JSON line (what the driver parses) ----------------
-    dt, nrays, _ = fb.measure(camera, "headline", repeats)
-    mrays = nrays / dt / 1e6
-    headline = (f"forward Mrays/s/chip {width}x{height} bob_tri.obj "
-                f"depth-{depth} ({accel_mode})")
-    emit(headline, mrays, "Mrays/s", mrays / BASELINE_MRAYS)
+    # it is also the LAST JSON line (what the driver parses). Every leg runs
+    # fault-isolated via run_leg: one tunnel flake can no longer abort the
+    # rest of the capture (the round-4 failure mode).
+    def leg_headline():
+        dt, nrays, _ = fb.measure(camera, "headline", repeats)
+        hl["dt"], hl["mrays"] = dt, nrays / dt / 1e6
+        emit(headline, hl["mrays"], "Mrays/s", hl["mrays"] / BASELINE_MRAYS)
 
-    dt_hh = None
-    camera_close = None
-    if os.environ.get("RT_BENCH_HITHEAVY", "1") == "1" and not skip_secondary:
+    headline_ok = run_leg("headline", leg_headline, attempts=2)
+
+    def leg_hitheavy():
         # same compiled program as the headline (camera is a traced arg):
         # zero extra compiles, just slower frames
         cam_close = dict(cam, position=(0.0, 6.0, 14.0))
-        camera_close = scenes.make_camera(cam_close, width, height,
-                                          dtype=jnp.float32)
-        dt_hh, nrays_hh, _ = fb.measure(camera_close, "hit-heavy", repeats)
+        hl["camera_close"] = scenes.make_camera(cam_close, width, height,
+                                                dtype=jnp.float32)
+        dt_hh, nrays_hh, _ = fb.measure(hl["camera_close"], "hit-heavy", repeats)
+        hl["dt_hh"] = dt_hh
         mrays_hh = nrays_hh / dt_hh / 1e6
         emit(f"forward Mrays/s/chip {width}x{height} bob close-framed "
              f"(~60% hit) depth-{depth} ({accel_mode})",
              mrays_hh, "Mrays/s", mrays_hh / BASELINE_MRAYS)
 
+    if os.environ.get("RT_BENCH_HITHEAVY", "1") == "1" and not skip_secondary:
+        run_leg("hit-heavy", leg_hitheavy)
+
     if os.environ.get("RT_BENCH_GRAD", "1") == "1" and not skip_secondary:
-        bench_grad_ratio(scene, camera, cfg, dt, max(2, repeats // 3))
-        if dt_hh is not None:
+        if "dt" in hl:
+            run_leg("grad", lambda: bench_grad_ratio(
+                scene, camera, cfg, hl["dt"], secondary_reps))
+        if "dt_hh" in hl:
             # the backward where it hurts: the close framing's residuals
             # ("sweep"-tagged query results) are ~4x the headline's
-            bench_grad_ratio(scene, camera_close, cfg, dt_hh,
-                             max(2, repeats // 3), tag="grad-hh",
-                             framing="bob close-framed (~60% hit)")
+            run_leg("grad-hh", lambda: bench_grad_ratio(
+                scene, hl["camera_close"], cfg, hl["dt_hh"], secondary_reps,
+                tag="grad-hh", framing="bob close-framed (~60% hit)"))
 
     if os.environ.get("RT_BENCH_TRAIN", "1") == "1" and not skip_secondary:
-        bench_train_step(scene, camera, cfg, max(2, repeats // 3))
+        run_leg("train", lambda: bench_train_step(
+            scene, camera, cfg, secondary_reps))
+
+    if os.environ.get("RT_BENCH_BRANCHING", "1") == "1" and not skip_secondary:
+        run_leg("branching", lambda: bench_branching(
+            width, height, depth, secondary_reps))
 
     if os.environ.get("RT_BENCH_STREAM", "1") == "1" and not skip_secondary:
-        bench_stream_ratio(width, height, max(2, repeats // 3))
+        run_leg("stream", lambda: bench_stream_ratio(
+            width, height, secondary_reps))
 
     if os.environ.get("RT_BENCH_BIG", "1") == "1" and not skip_secondary:
-        bench_bigscene(width, height, max(2, repeats // 3))
+        run_leg("bigscene", lambda: bench_bigscene(
+            width, height, secondary_reps))
 
-    if os.environ.get("RT_BENCH_DEPTH10", "1") == "1" and not skip_secondary \
-            and depth != 10:
+    def leg_depth10():
         # the reference's RECURSION_DEPTH (Serial/world.h:11): one capture of
         # the generalized wavefront + compaction ladder at depth 10
         cfg10 = dataclasses.replace(cfg, max_depth=10)
         fb10 = FrameBench(scene, cfg10)
-        dt10, nrays10, _ = fb10.measure(camera, "depth10", max(2, repeats // 3))
+        dt10, nrays10, _ = fb10.measure(camera, "depth10", secondary_reps)
         mrays10 = nrays10 / dt10 / 1e6
         emit(f"forward Mrays/s/chip {width}x{height} bob_tri.obj depth-10 "
              f"({accel_mode})", mrays10, "Mrays/s", mrays10 / BASELINE_MRAYS,
              frame_ms=round(dt10 * 1e3, 2))
 
-    emit(headline, mrays, "Mrays/s", mrays / BASELINE_MRAYS)
+    if os.environ.get("RT_BENCH_DEPTH10", "1") == "1" and not skip_secondary \
+            and depth != 10:
+        run_leg("depth10", leg_depth10)
+
+    # -- final re-emit: the artifact tail must contain EVERY metric captured
+    # this run, headline LAST (the driver parses the last JSON line) --------
+    _log(f"[bench] re-emitting all {len(_EMITTED)} captured metrics")
+    tail = [r for r in list(_EMITTED) if r["metric"] != headline]
+    head = [r for r in list(_EMITTED) if r["metric"] == headline][:1]
+    for rec in tail + head:
+        print(json.dumps(rec), flush=True)
+    sys.exit(0 if headline_ok else 1)
 
 
 if __name__ == "__main__":

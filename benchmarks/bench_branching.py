@@ -17,29 +17,16 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax.numpy as jnp
-import numpy as np
 
 import bench
 from realtrace_tpu.apps import scenes
-from realtrace_tpu.core.types import RenderConfig, Materials
+from realtrace_tpu.core.types import RenderConfig
 from realtrace_tpu.ops import accel
 
-
-def glass_bob_scene():
-    """Serial bob scene + one dielectric sphere between camera and model."""
-    scene, cam = scenes.serial_obj_scene(
-        texture_path="/root/reference/Serial/bob_diffuse.png", dtype=jnp.float32)
-    f32 = jnp.float32
-    sph_m = Materials(ka=jnp.asarray([0.1], f32), kd=jnp.asarray([0.2], f32),
-                      ks=jnp.asarray([0.3], f32), kr=jnp.asarray([0.3], f32),
-                      kt=jnp.asarray([0.8], f32), eta=jnp.asarray([1.5], f32))
-    scene = scene.replace(
-        sph_center=jnp.asarray([[20.0, 15.0, 20.0]], f32),
-        sph_radius=jnp.asarray([10.0], f32),
-        sph_color=jnp.asarray([[0.95, 0.95, 1.0]], f32),
-        sph_materials=sph_m,
-        dielectric=True)
-    return scene, cam
+# scene construction lives in realtrace_tpu.apps.scenes.glass_bob_scene (it is
+# also a default bench.py leg now); this script remains the standalone runner
+glass_bob_scene = lambda: scenes.glass_bob_scene(
+    texture_path="/root/reference/Serial/bob_diffuse.png")
 
 
 def main():

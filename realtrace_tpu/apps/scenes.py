@@ -122,8 +122,20 @@ def duplicated_serial_scene(n_copies: int, dtype=jnp.float32,
     scene, cam = serial_obj_scene(texture_path=texture_path, dtype=dtype)
     tv = np.asarray(scene.tri_vertices)
     tc = np.asarray(scene.tri_colors)
+    # first six offsets are frozen (round 2-4 captures used exactly these);
+    # beyond 6, walk an expanding x/z grid ring by ring (spacing 18)
     offs = [(0.0, 0.0), (18.0, 0.0), (0.0, 18.0), (18.0, 18.0),
-            (-18.0, 0.0), (0.0, -18.0)][:n_copies]
+            (-18.0, 0.0), (0.0, -18.0)]
+    ring = 1
+    while len(offs) < n_copies:
+        s = 18.0 * ring
+        cand = [(i * 18.0, j * 18.0)
+                for i in range(-ring, ring + 1)
+                for j in range(-ring, ring + 1)
+                if max(abs(i), abs(j)) == ring]
+        offs.extend(c for c in cand if c not in offs)
+        ring += 1
+    offs = offs[:n_copies]
     tvs, tcs = [], []
     for ox, oz in offs:
         t = tv.copy()
@@ -136,6 +148,28 @@ def duplicated_serial_scene(n_copies: int, dtype=jnp.float32,
     scene = scene.replace(tri_vertices=jnp.asarray(np.concatenate(tvs)),
                           tri_colors=jnp.asarray(np.concatenate(tcs)),
                           tri_materials=mats)
+    return scene, cam
+
+
+def glass_bob_scene(texture_path=None, dtype=jnp.float32) -> tuple[Scene, dict]:
+    """Serial bob scene + one dielectric sphere between camera and model.
+
+    The branching-wavefront benchmark scene: every primary hit on the sphere
+    takes the Fresnel split (reflect AND refract children both live — the
+    reference's dielectric semantics, Serial/world.cpp:77-100)."""
+    from realtrace_tpu.core.types import Materials
+
+    scene, cam = serial_obj_scene(texture_path=texture_path, dtype=dtype)
+    f32 = jnp.float32
+    sph_m = Materials(ka=jnp.asarray([0.1], f32), kd=jnp.asarray([0.2], f32),
+                      ks=jnp.asarray([0.3], f32), kr=jnp.asarray([0.3], f32),
+                      kt=jnp.asarray([0.8], f32), eta=jnp.asarray([1.5], f32))
+    scene = scene.replace(
+        sph_center=jnp.asarray([[20.0, 15.0, 20.0]], f32),
+        sph_radius=jnp.asarray([10.0], f32),
+        sph_color=jnp.asarray([[0.95, 0.95, 1.0]], f32),
+        sph_materials=sph_m,
+        dielectric=True)
     return scene, cam
 
 

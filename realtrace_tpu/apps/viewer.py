@@ -330,17 +330,20 @@ class Viewer:
         import jax.tree_util as jtu
 
         cams = []
+        quit_seen = False   # rebinding `keys` would NOT stop the outer loop
         for ch in keys:
             events, rest = parse_events(self._inbuf + ch)
             self._inbuf = rest
             for ev in events:
                 action = apply_event(self.orbit, ev, self.drag_state)
                 if action == "quit":
-                    keys = ""   # stop collecting but render what we have
+                    quit_seen = True   # stop collecting, render what we have
                     break
                 if action == "save":
                     continue
                 cams.append(self.orbit.build_render_camera(dtype=self.scene.dtype))
+            if quit_seen:
+                break
         if not cams:
             return
         n = len(cams)

@@ -106,10 +106,11 @@ class Scene:
     tri_chunk_perm: Array | None = None
     # STATIC build-time dielectric flag (pytree aux data, like width/height on
     # Camera): lets ``branching=None`` resolve inside jit without touching
-    # concrete leaf values. Set by SceneBuilder.build(); ``replace()`` of
-    # material leaves keeps the build-time value (the wavefront branching
-    # mode must be trace-static anyway). None → fall back to the dynamic
-    # host-side inspection.
+    # concrete leaf values. Set by SceneBuilder.build(); ``replace()`` of a
+    # *_materials field CLEARS it back to None unless the caller passes
+    # ``dielectric=`` explicitly (see the replace wrapper below the class) —
+    # a post-build kt mutation must not silently keep the stale build-time
+    # answer. None → fall back to the dynamic host-side inspection.
     dielectric: bool | None = struct.field(pytree_node=False, default=None)
 
     @property
@@ -151,6 +152,26 @@ class Scene:
             if kr.size and bool(np.any((kr > 0) & (kt > 0))):
                 return True
         return False
+
+
+# ADVICE r4: the static ``dielectric`` flag must not go stale when material
+# leaves are swapped post-build (e.g. a test scene raising kt by mutation).
+# Wrap the flax-generated ``replace``: any update touching a *_materials field
+# clears the flag unless the caller sets it explicitly, so has_dielectrics()
+# falls back to the host-side inspection — the true answer on concrete
+# scenes, and a loud TracerArrayConversionError under jit (forcing an
+# explicit ``branching=`` choice) instead of a silently wrong render.
+_scene_struct_replace = Scene.replace
+
+
+def _scene_replace(self, **updates):
+    if ("dielectric" not in updates and self.dielectric is not None
+            and any(k.endswith("_materials") for k in updates)):
+        updates["dielectric"] = None
+    return _scene_struct_replace(self, **updates)
+
+
+Scene.replace = _scene_replace
 
 
 def _empty_family(dtype):
@@ -308,7 +329,8 @@ class RenderConfig:
     # but the kernel's front-to-back + all-occluded early exits already skip
     # most of that slack, so full-width exact masks cost more than they save
     # — measured hit-heavy 1080p: heuristic 247.7ms vs forced-exact 273.4ms
-    # (benchmarks/exp_hh_ablate.py); headline difference is <1%.
+    # (round-3 ablation, numbers preserved in docs/KERNEL.md round-3
+    # findings); headline difference is <1%.
     exact_mask_secondary: bool = False
     # inter-level wavefront compaction: deep bounce levels run on only the
     # live tiles (gathered to a power-of-two tile capacity via lax.switch) —
@@ -354,3 +376,23 @@ class RenderConfig:
     # kernel's early exits are in; docs/KERNEL.md round-3 ablations:
     # reorder_secondary +37ms/frame, reorder_children hit-heavy 291.7 vs
     # 247.7ms) and were REMOVED in round 4 rather than shipped untested.
+
+    def __post_init__(self):
+        # fail at construction, not deep inside a pallas kernel (ADVICE r4:
+        # "high" occlusion precision is NotImplemented in-kernel and nothing
+        # validated the field — a user setting it got a kernel-level error)
+        _ACCELS = ("bruteforce", "chunked", "pallas")
+        if self.accel not in _ACCELS:
+            raise ValueError(f"accel={self.accel!r} not in {_ACCELS}")
+        if self.matmul_precision not in ("default", "highest"):
+            raise ValueError(
+                f"matmul_precision={self.matmul_precision!r}: supported are "
+                "'highest' (f32-accurate triangle tests; default) and "
+                "'default' (bf16 — measured wrong AND slower for closest "
+                "sweeps, see docs/KERNEL.md)")
+        if self.occlusion_precision not in ("default", "highest"):
+            raise ValueError(
+                f"occlusion_precision={self.occlusion_precision!r}: supported "
+                "are 'default' (single-pass bf16 occlusion; ships) and "
+                "'highest' (bit-parity with the closest sweep); 'high' is "
+                "NotImplemented in-kernel")

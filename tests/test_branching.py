@@ -63,6 +63,42 @@ def test_has_dielectrics_is_jit_safe_for_built_scenes():
                                    np.asarray(eager), rtol=1e-12, atol=1e-12)
 
 
+def test_replace_of_materials_clears_stale_dielectric_flag():
+    """A post-build material mutation must not keep the stale static answer
+    (ADVICE r4): replace() of a *_materials field clears the flag to None so
+    has_dielectrics() re-inspects the actual leaves; an explicit
+    ``dielectric=`` in the same replace() wins."""
+    import dataclasses as dc
+
+    scene, _ = scenes.sphere_plane_scene(dtype=DT)
+    assert scene.dielectric is False and not scene.has_dielectrics()
+    glassy = dc.replace(scene.sph_materials,
+                        kr=jnp.full_like(scene.sph_materials.kr, 0.3),
+                        kt=jnp.full_like(scene.sph_materials.kt, 0.8))
+    mutated = scene.replace(sph_materials=glassy)
+    assert mutated.dielectric is None
+    assert mutated.has_dielectrics()          # true answer from the leaves
+    explicit = scene.replace(sph_materials=glassy, dielectric=True)
+    assert explicit.dielectric is True
+    # non-material replaces keep the static flag (jit-safety preserved)
+    moved = scene.replace(sph_center=scene.sph_center + 1.0)
+    assert moved.dielectric is False
+
+
+def test_render_config_validates_precisions():
+    import pytest
+
+    from realtrace_tpu.core.types import RenderConfig as RC
+    with pytest.raises(ValueError, match="occlusion_precision"):
+        RC(occlusion_precision="high")
+    with pytest.raises(ValueError, match="matmul_precision"):
+        RC(matmul_precision="bf16")
+    with pytest.raises(ValueError, match="accel"):
+        RC(accel="kd-tree")
+    RC(occlusion_precision="highest", matmul_precision="highest",
+       accel="pallas")                        # supported combos construct
+
+
 def test_ordinary_dielectric_scene_has_no_overflow():
     scene, cam = scenes.full_primitive_scene(dtype=DT)
     assert scene.has_dielectrics()
