@@ -14,6 +14,7 @@ hard part (c)).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +49,49 @@ MAT_BLOCK_SLICE = True
 # transpose is a scalar-ish relayout that costs far more than the six
 # strided extract fusions it replaces. Kept only as the A/B hook.
 TRANS_GATHER = False
+
+# Backward of the wide (R, k) shade-table row gather. The mathematical dual
+# is a scatter-add of ~2M 25-column cotangent rows into the (N, k) table per
+# bounce level — XLA's unsorted scatter was the round-4 hit-heavy backward's
+# dominant cost (17.9 + 17.4 + 8.9 ms of the 277.95 ms step, docs/KERNEL.md).
+# "sort": custom VJP — argsort the triangle ids once, row-gather the
+# cotangents into id order (row gathers are near DMA speed), and segment-sum
+# contiguous runs (indices_are_sorted scatter). "scatter": XLA's native dual.
+# Env RT_GATHER_VJP overrides (A/B hook, like RESIDENT_LIMIT forcing).
+GATHER_VJP = os.environ.get("RT_GATHER_VJP", "sort")
+
+
+@functools.lru_cache(maxsize=None)
+def _gather_rows_sorted(n: int):
+    """Row gather ``table[idx]`` whose VJP is sort + sorted segment-sum
+    instead of an unsorted scatter-add (see GATHER_VJP). Forward is
+    bit-identical to plain indexing; the backward is an exact reordering of
+    the same float additions (per-segment order fixed by the stable sort, so
+    grads stay deterministic — tests/test_grad.py FD-validates through it)."""
+    import numpy as np
+
+    @jax.custom_vjp
+    def gather(table, idx):
+        return table[idx]
+
+    def fwd(table, idx):
+        return table[idx], idx
+
+    def bwd(idx, ct):
+        order = jnp.argsort(idx, stable=True).astype(jnp.int32)
+        dtab = jax.ops.segment_sum(ct[order], idx[order], num_segments=n,
+                                   indices_are_sorted=True)
+        return dtab, np.zeros(idx.shape, jax.dtypes.float0)
+
+    gather.defvjp(fwd, bwd)
+    return gather
+
+
+def _table_gather(table: Array, idx: Array) -> Array:
+    if GATHER_VJP == "sort":
+        return _gather_rows_sorted(table.shape[0])(table, idx)
+    return table[idx]
+
 
 # family codes
 FAM_NONE, FAM_TRI, FAM_SPH, FAM_PLN, FAM_CYL = 0, 1, 2, 3, 4
@@ -314,11 +358,11 @@ def hit_attributes(scene: Scene, ro: Array, rd: Array, t_fwd: Array, fam: Array,
             perm = pack.perm if pack is not None else scene.tri_chunk_perm
             table = jnp.concatenate(
                 [table[perm], perm.astype(dt)[:, None]], axis=1)
-            g = table[idx]                                 # (R, nc+1)
-            gm = mat_cols[perm][idx] if MAT_SPLIT else None
+            g = _table_gather(table, idx)                  # (R, nc+1)
+            gm = _table_gather(mat_cols[perm], idx) if MAT_SPLIT else None
         else:
-            g = table[idx]                                 # (R, nc)
-            gm = mat_cols[idx] if MAT_SPLIT else None
+            g = _table_gather(table, idx)                  # (R, nc)
+            gm = _table_gather(mat_cols, idx) if MAT_SPLIT else None
         if TRANS_GATHER:
             # ONE materialized transpose: (R, k) f32 lays out T(8,128) —
             # minor dim padded to 128 lanes, so the gathered table is ~5.1x

@@ -219,6 +219,36 @@ def _children(scene: Scene, hit: Hit, ro: Array, rd: Array, coeff: Array,
     return contrib, child_r, child_t
 
 
+def _shadow_occlusion(scene: Scene, hit: Hit, valid: Array, cfg: RenderConfig,
+                      pack=None, exact_mask=None) -> Array | None:
+    """Batched per-level shadow occlusion: ONE sweep covering every light's
+    shadow segment, folded to a per-lane any-light-occluded mask. any-mode
+    (division-free OR-reduce epilogue + all-occluded early exit) under the
+    default ``shadow_any_mode``; a closest sweep (fam != FAM_NONE) otherwise
+    — identical booleans, 'highest'-precision occlusion. None when shadows
+    are off. Ref semantics: Serial/world.cpp:42-51 (any hit, even beyond the
+    light, counts as shadow)."""
+    nl = scene.lights.position.shape[0] if cfg.shadows else 0
+    if nl == 0:
+        return None
+    sh = _shadow_targets(scene, lax.stop_gradient(hit.position),
+                         lax.stop_gradient(valid), cfg)
+    ros = jnp.concatenate([o for o, _ in sh])
+    rds = jnp.concatenate([d for _, d in sh])
+    if cfg.shadow_any_mode:
+        occ_all = any_hit(scene, ros, rds, cfg, pack=pack,
+                          exact_mask=exact_mask)
+    else:
+        _, fam, _ = closest_query(scene, ros, rds, cfg, pack=pack,
+                                  exact_mask=exact_mask)
+        occ_all = fam != FAM_NONE
+    r = hit.t.shape[0]
+    occ = jnp.zeros((r,), bool)
+    for l in range(nl):
+        occ |= occ_all[l * r:(l + 1) * r]
+    return occ
+
+
 def _merged_query(scene: Scene, hit: Hit, valid: Array, children, cfg: RenderConfig,
                   pack=None):
     """ONE batched closest query covering this level's shadow rays (one
@@ -255,15 +285,8 @@ def _merged_query(scene: Scene, hit: Hit, valid: Array, children, cfg: RenderCon
         # share of secondary sweep work (they cross the whole model toward
         # the light), so they get the cheap epilogue while the (closest)
         # child query keeps min/argmin.
-        sh = _shadow_targets(scene, lax.stop_gradient(hit.position),
-                             lax.stop_gradient(valid), cfg)
-        occ_all = any_hit(scene, jnp.concatenate([o for o, _ in sh]),
-                          jnp.concatenate([d for _, d in sh]), cfg, pack=pack,
-                          exact_mask=em)
-        r = hit.t.shape[0]
-        occ = jnp.zeros((r,), bool)
-        for l in range(nl):
-            occ |= occ_all[l * r:(l + 1) * r]
+        occ = _shadow_occlusion(scene, hit, valid, cfg, pack=pack,
+                                exact_mask=em)
         t, fam, idx = closest_query(scene, jnp.concatenate(ro_cs),
                                     jnp.concatenate(rd_cs), cfg, pack=pack,
                                     exact_mask=em)
@@ -385,9 +408,14 @@ def _branch_entry_tiles(scene: Scene, ro0: Array, rd0: Array, coeff0: Array,
 
     ``tidx`` maps the cap parent tiles to pixel tiles (pads = nt, dropped);
     ``accum`` is the (nt, tile, 3) tile-shaped accumulator. Shades level 0
-    (contribution scattered tile-granularly, sorted indices), spawns the
-    (reflect ‖ refract) children as 2·cap tiles, and issues the merged
-    query. Level-0 ray counting is the caller's (full-width) job."""
+    (shadow occlusion at PARENT width, contribution scattered
+    tile-granularly, sorted indices) and spawns the (reflect ‖ refract)
+    children as 2·cap candidate tiles — WITHOUT querying them: the child
+    closest query is deferred to ``_branch_rung_ladder`` so it runs at the
+    compacted rung width, not at 2·cap (most candidate tiles are dead —
+    non-dielectric parents spawn one child, misses none; querying before
+    compaction paid the full 2x sweep every frame). Level-0 ray counting is
+    the caller's (full-width) job."""
     t0, fam0, idx0 = q0
     hit0 = hit_attributes(scene, ro0, rd0, t0, fam0, idx0, cfg, pack=pack)
     valid0, isd0, child_r, child_t = _children_geom(scene, hit0, ro0, rd0,
@@ -396,32 +424,32 @@ def _branch_entry_tiles(scene: Scene, ro0: Array, rd0: Array, coeff0: Array,
     rd_k = jnp.concatenate([child_r[1], child_t[1]])
     coeff_k = jnp.concatenate([child_r[2], child_t[2]])
     tp_k = jnp.concatenate([tidx, tidx])
-    if cfg.max_depth == 0:   # children are never consumed: park their query
-        ro_q, rd_q = _park_dead(ro_k, rd_k, jnp.zeros((ro_k.shape[0],), bool))
-    else:
-        ro_q, rd_q = ro_k, rd_k
-    occ0, [qk] = _merged_query(scene, hit0, valid0, (ro_q, rd_q, coeff_k),
-                               cfg, pack=pack)
+    em = True if cfg.exact_mask_secondary else None
+    occ0 = _shadow_occlusion(scene, hit0, valid0, cfg, pack=pack,
+                             exact_mask=em)
     contrib0 = _local_contrib(scene, hit0, rd0, coeff0, valid0, isd0, cfg,
                               pack=pack, miss_background=False, shadowed=occ0)
     cap = tidx.shape[0]
     accum = accum.at[tidx].add(contrib0.reshape(cap, WAVEFRONT_TILE, 3),
                                mode="drop", indices_are_sorted=True)
-    return (ro_k, rd_k, coeff_k, tp_k, *qk, accum,
+    return (ro_k, rd_k, coeff_k, tp_k, accum,
             jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32))
 
 
 def _branch_rung_ladder(scene: Scene, cfg: RenderConfig, pack, carry,
                         count_rays, nt: int):
     """Capacity ladder for the tile-granular dielectric wavefront: the entry
-    always emits 2·cap child tiles (reflect ‖ refract blocks), but on
-    ordinary scenes only a fraction are live (dielectric pixels are a
+    always emits 2·cap candidate child tiles (reflect ‖ refract blocks), but
+    on ordinary scenes only a fraction are live (dielectric pixels are a
     minority). Select the smallest rung 2·cap / 2^k that fits the live-tile
     count ONCE (lax.switch, like the level-0 and deep-level ladders), gather
-    live tiles first, and run every bounce level at that width. Overflowing
-    live tiles' mass is added to the dropped-mass stat (same reported-drop
+    live tiles first, and only THEN issue the level-1 child closest query —
+    at rung width instead of 2·cap (the round-4 layout queried all 2·cap
+    candidates before compacting; on bob+glass ~70% of that sweep was dead
+    tiles). Every bounce level then runs at the rung width. Overflowing live
+    tiles' mass is added to the dropped-mass stat (same reported-drop
     semantics as ``_compact_children_tiles``)."""
-    ro_k, rd_k, coeff_k, tp_k, t, fam, idx, accum, nrays, dropped = carry
+    ro_k, rd_k, coeff_k, tp_k, accum, nrays, dropped = carry
     tile = WAVEFRONT_TILE
     k0 = tp_k.shape[0]                           # 2*cap child tiles
     mass = jnp.sum(lax.stop_gradient(coeff_k), axis=-1).astype(jnp.float32)
@@ -429,32 +457,39 @@ def _branch_rung_ladder(scene: Scene, cfg: RenderConfig, pack, carry,
     live = mass_t > 0.0
     cnt = jnp.sum(live, dtype=jnp.int32)
     rungs = sorted({-(-k0 // 2 ** k) for k in range(max(cfg.branch_buckets, 1))})
+    em = True if cfg.exact_mask_secondary else None
 
     def rung(kcap: int):
+        gather = kcap < k0
+
         def f(op):
-            ro_k, rd_k, coeff_k, tp_k, t, fam, idx, accum, nrays, dropped = op
-            order = jnp.argsort(~live, stable=True).astype(jnp.int32)
-            sel = order[:kcap]
-            tail = order[kcap:]
-            dropped = dropped + jnp.sum(jnp.where(live[tail], mass_t[tail], 0.0))
+            ro_k, rd_k, coeff_k, tp_k, accum, nrays, dropped = op
+            if gather:
+                order = jnp.argsort(~live, stable=True).astype(jnp.int32)
+                sel = order[:kcap]
+                tail = order[kcap:]
+                dropped = dropped + jnp.sum(
+                    jnp.where(live[tail], mass_t[tail], 0.0))
 
-            def g3(x):
-                return x.reshape(k0, tile, 3)[sel].reshape(kcap * tile, 3)
+                def g3(x):
+                    return x.reshape(k0, tile, 3)[sel].reshape(kcap * tile, 3)
 
-            def g1(x):
-                return x.reshape(k0, tile)[sel].reshape(kcap * tile)
-
-            tp2 = jnp.where(live[sel], tp_k[sel], nt)
-            carry2 = (g3(ro_k), g3(rd_k), g3(coeff_k), tp2,
-                      g1(t), g1(fam), g1(idx), accum, nrays, dropped)
+                ro_g, rd_g, coeff_g = g3(ro_k), g3(rd_k), g3(coeff_k)
+                tp_g = jnp.where(live[sel], tp_k[sel], nt)
+            else:
+                ro_g, rd_g, coeff_g, tp_g = ro_k, rd_k, coeff_k, tp_k
+            if cfg.max_depth == 0:   # children never consumed: park the query
+                ro_q, rd_q = _park_dead(ro_g, rd_g,
+                                        jnp.zeros((ro_g.shape[0],), bool))
+            else:
+                ro_q, rd_q = ro_g, rd_g
+            qk = closest_query(scene, ro_q, rd_q, cfg, pack=pack,
+                               exact_mask=em)
+            carry2 = (ro_g, rd_g, coeff_g, tp_g, *qk, accum, nrays, dropped)
             return _branch_levels_tiles(scene, cfg, pack, carry2, count_rays, nt)
         return f
 
-    def full(op):
-        return _branch_levels_tiles(scene, cfg, pack, op, count_rays, nt)
-
-    branches = [_level_ckpt(cfg)(rung(k)) for k in rungs[:-1]] \
-        + [_level_ckpt(cfg)(full)]
+    branches = [_level_ckpt(cfg)(rung(k)) for k in rungs]
     b = jnp.sum(cnt > jnp.asarray(rungs, jnp.int32))
     return lax.switch(b, branches, carry)
 

@@ -105,3 +105,30 @@ def test_replicate_scene(mesh8):
     scene, _ = scenes.sphere_plane_scene(dtype=DT)
     rep = pmesh.replicate_scene(scene, mesh8)
     assert np.allclose(np.asarray(rep.sph_center), np.asarray(scene.sph_center))
+
+
+def test_bench_scaling_smoke(monkeypatch, capsys):
+    """CI smoke of benchmarks/bench_scaling.py (VERDICT r4 #6): the weak-
+    scaling curve script runs end-to-end on the emulated mesh and emits
+    per-point JSON with efficiency fractions."""
+    import importlib
+    import json as _json
+    import sys as _sys
+    from pathlib import Path
+
+    monkeypatch.setenv("RT_SCALE_DEVICES", "2")
+    monkeypatch.setenv("RT_SCALE_FLYTHROUGH", "0")
+    monkeypatch.setenv("RT_BENCH_WIDTH", "128")
+    monkeypatch.setenv("RT_BENCH_TILEH", "32")
+    monkeypatch.setenv("RT_BENCH_DEPTH", "1")
+    _sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "benchmarks"))
+    try:
+        mod = importlib.import_module("bench_scaling")
+        mod.main()
+    finally:
+        _sys.path.pop(0)
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    recs = [_json.loads(l) for l in lines]
+    assert any("weak-scaling point 2 devices" in r["metric"] for r in recs)
+    eff = [r for r in recs if "weak-scaling efficiency" in r["metric"]]
+    assert eff and 0.0 < eff[0]["value"] <= 1.0
