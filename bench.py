@@ -160,10 +160,12 @@ def emit(metric: str, value: float, unit: str, vs_baseline=None, **extra):
     print(json.dumps(rec), flush=True)
 
 
-def run_leg(name: str, fn, attempts: int = 1) -> bool:
+def run_leg(name: str, fn, attempts: int = 2) -> bool:
     """Run one bench leg fault-isolated: a tunnel flake in any leg must never
     abort the remaining legs or the final re-emit (round-4 postmortem —
-    BENCH_r04 rc=1 lost the headline because the bigscene leg crashed)."""
+    BENCH_r04 rc=1 lost the headline because the bigscene leg crashed).
+    Default 2 attempts: the observed failures (remote_compile: response body
+    closed) are transient tunnel errors — a retry usually lands."""
     import traceback
     for k in range(attempts):
         try:
