@@ -33,10 +33,12 @@ def main():
     copies = [int(c) for c in
               os.environ.get("RT_BIG_COPIES", "4,8,16").split(",")]
     if os.environ.get("RT_SUPER", "1") == "0":   # A/B: round-4 behavior
-        ptrace.EXACT_MASK_MIN_CHUNKS = 1 << 30
-        ptrace.SUPER_MIN_CHUNKS = 1 << 30
+        ptrace.EXACT_MASK_MIN_TRIS = 1 << 30
+    elif os.environ.get("RT_SUPER") == "force":  # A/B: engage at any count
+        ptrace.EXACT_MASK_MIN_TRIS = 1
 
-    cfg = RenderConfig(max_depth=2, accel="pallas", chunk_size=64)
+    chunk = int(os.environ.get("RT_BENCH_CHUNK", 64))
+    cfg = RenderConfig(max_depth=2, accel="pallas", chunk_size=chunk)
     for n in copies:
         scene, cam = scenes.duplicated_serial_scene(
             n, texture_path="/root/reference/Serial/bob_diffuse.png")
@@ -50,7 +52,7 @@ def main():
             "metric": f"forward Mrays/s/chip {w}x{h} bob_x{n} "
                       f"{scene.n_triangles} tris depth-2 (streaming="
                       f"{not pack.resident}, super="
-                      f"{pack.lo.shape[0] >= ptrace.SUPER_MIN_CHUNKS})",
+                      f"{scene.n_triangles >= ptrace.EXACT_MASK_MIN_TRIS})",
             "value": round(mrays, 3), "unit": "Mrays/s",
             "vs_baseline": round(mrays / bench.BASELINE_MRAYS, 4),
             "frame_ms": round(dt * 1e3, 2), "chunks": int(pack.lo.shape[0]),

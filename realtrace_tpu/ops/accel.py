@@ -92,6 +92,33 @@ def build_chunk_perm(tri_vertices, chunk_size: int) -> np.ndarray:
     return order.astype(np.int32)
 
 
+# Big-scene chunk-size policy, set by the 2026-08-21 TPU grid (all arms in
+# benchmarks/captures/bigcurve_r5.json / docs/KERNEL.md round-5):
+# - TARGET_CHUNKS: above ~512 chunks the masks and lists cost more than
+#   bigger chunks do — bob x4 measured 16.3 Mrays/s at chunk 128 (334
+#   chunks) vs 15.1 at chunk 64 (668).
+# - MAX_CHUNK_SIZE: growth stops at 256 — bob x16 at chunk 512 measured
+#   1.7 vs 2.6 at chunk 256 (per-visit sweep work too coarse).
+# - MAX_CHUNKS is the HARD SMEM ceiling and overrides the size cap: the
+#   sweep's per-tile chunk lists are scalar-prefetched into SMEM, observed
+#   to overflow at 2670 chunks ("prefetched SMEM operand" 1.31MB > 1MB;
+#   1336 compiled fine).
+# All growth doubles, preserving 4*chunk_size % 128 == 0 (resident-lane
+# alignment). Flagship bob x1/x2 configs (334 chunks) are never rescaled.
+TARGET_CHUNKS = 512
+MAX_CHUNK_SIZE = 256
+MAX_CHUNKS = 1536
+
+
+def effective_chunk_size(cfg: RenderConfig, n_tris: int) -> int:
+    cs = cfg.chunk_size
+    while n_tris > cs * TARGET_CHUNKS and cs < MAX_CHUNK_SIZE:
+        cs *= 2
+    while n_tris > cs * MAX_CHUNKS:      # SMEM hard limit wins over the cap
+        cs *= 2
+    return cs
+
+
 def with_chunks(scene: Scene, cfg: RenderConfig) -> Scene:
     """Attach the chunk permutation to the scene (stored as an int32 leaf).
 
@@ -108,7 +135,7 @@ def with_chunks(scene: Scene, cfg: RenderConfig) -> Scene:
     if scene.n_triangles == 0:
         return scene.replace(tri_chunk_perm=jnp.zeros((0,), jnp.int32))
     perm = jax.jit(chunk_perm_split_device, static_argnums=1)(
-        scene.tri_vertices, cfg.chunk_size)
+        scene.tri_vertices, effective_chunk_size(cfg, scene.n_triangles))
     return scene.replace(tri_chunk_perm=perm)
 
 
@@ -159,8 +186,9 @@ def resort_chunks(scene: Scene, cfg: RenderConfig) -> Scene:
     geometry-optimizing train loops can simply re-sort every step.
     """
     return scene.replace(
-        tri_chunk_perm=chunk_perm_split_device(scene.tri_vertices,
-                                               cfg.chunk_size))
+        tri_chunk_perm=chunk_perm_split_device(
+            scene.tri_vertices,
+            effective_chunk_size(cfg, scene.n_triangles)))
 
 
 def build_chunk_perm_split(tri_vertices, chunk_size: int) -> np.ndarray:
@@ -276,7 +304,7 @@ def _sorted_chunks(scene: Scene, cfg: RenderConfig):
     perm = scene.tri_chunk_perm
     if perm is None:
         raise ValueError("scene has no chunk permutation; call accel.with_chunks(scene, cfg)")
-    c = cfg.chunk_size
+    c = effective_chunk_size(cfg, scene.n_triangles)
     tv = lax.stop_gradient(scene.tri_vertices)[perm]        # (M*C, 3, 3)
     m = tv.shape[0] // c
     tvc = tv.reshape(m, c, 3, 3)
@@ -317,7 +345,7 @@ def closest_triangle(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig):
     brute force; the Pallas path is exact by construction).
     """
     tvc, lo, hi, perm = _sorted_chunks(scene, cfg)
-    m, c = tvc.shape[0], cfg.chunk_size
+    m, c = tvc.shape[0], tvc.shape[1]
     s = min(cfg.shortlist, m)
     block = cfg.ray_block
     ro_p, rd_p, r = _pad_rays(ro, rd, block)

@@ -465,17 +465,17 @@ EXACT_GATE_CAP = 96           # interval-shortlist candidates refined per-ray
 # un-refined interval tail once chunk counts outgrow EXACT_GATE_CAP
 # (bob x4: 668 chunks, interval lists mean 199/tile, super-gated+refined 86,
 # uncapped per-ray oracle 42 — measured at 480x272, /tmp-experiment r5).
-# Engages only at SUPER_MIN_CHUNKS+ so the flagship bob configs (334 chunks
-# at chunk_size 32) keep the measured round-4 behavior bit-for-bit.
 # G doubles until supers fit a ~128-wide per-ray stage.
 SUPER_GROUP = 8
-SUPER_MIN_CHUNKS = 512
 SUPER_STAGE_WIDTH = 128       # target upper bound on the super count
-# chunk count at which the EXACT mask engages regardless of wavefront width:
-# big-scene interval lists grow linearly in chunks (and the kernel's early
-# exits can't save all-miss tiles, which sweep their whole list), so the
-# per-ray refinement pays for itself even at full primary width there.
-EXACT_MASK_MIN_CHUNKS = 512
+# TRIANGLE count at which the big-scene mask policy engages (full-width
+# EXACT mask + super-chunk gate): set by measurement, 2026-08-21 session —
+# bob x8 (85.5k tris) 4.6 -> 5.9 Mrays/s with the gated mask at EVERY chunk
+# size tried (64/128/256), while bob x4 (42.7k) measured 15.6 gated vs 16.3
+# interval and the flagship bob configs must stay bit-for-bit. Chunk count
+# is NOT the predictor (334 chunks wins at x8, loses at x4 — the payoff
+# scales with per-ray geometry crossings, which track triangles).
+EXACT_MASK_MIN_TRIS = 1 << 16
 
 
 def _super_bounds(lo, hi):
@@ -527,7 +527,7 @@ def _super_tile_mask(ro, rd, lo_s, hi_s, nt):
     return sup.reshape(nb * bt, s)[:nt]
 
 
-def _chunk_mask_exact(ro, rd, lo, hi, nt):
+def _chunk_mask_exact(ro, rd, lo, hi, nt, super_gate: bool = False):
     """EXACT per-tile chunk visibility: per-ray slab test, OR-reduced over
     each tile's lanes. Decisive wherever the interval mask is loose:
     divergent reflections (the [inv_min, inv_max] box spans sign changes and
@@ -559,7 +559,7 @@ def _chunk_mask_exact(ro, rd, lo, hi, nt):
     entry_i = entry_i[:, 0, :]               # (nt, M) interval entry bounds
     counts_i = counts_i[:, 0, 0]             # (nt,)
 
-    if m >= SUPER_MIN_CHUNKS:
+    if super_gate and m >= 64:
         # ---- super-chunk gate: per-ray slab verdicts at 1/G granularity
         # cover the FULL chunk range (the capped refinement below only sees
         # the first k candidates); gate the interval list and re-compact so
@@ -697,7 +697,9 @@ def build_pack(scene: Scene, cfg: RenderConfig) -> AccelPack:
     perm = scene.tri_chunk_perm
     if perm is None:
         raise ValueError("scene has no chunk permutation; call accel.with_chunks(scene, cfg)")
-    return _pack_for(perm, scene.tri_vertices, cfg.chunk_size)
+    from realtrace_tpu.ops.accel import effective_chunk_size
+    return _pack_for(perm, scene.tri_vertices,
+                     effective_chunk_size(cfg, scene.n_triangles))
 
 
 def closest_triangle(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
@@ -740,15 +742,15 @@ def closest_triangle(scene: Scene, ro: Array, rd: Array, cfg: RenderConfig,
     nt = feat.shape[1] // LANES
     # exact per-ray masks for compacted (secondary) widths, interval masks
     # for full-width primary wavefronts where the interval lists are already
-    # tight; callers override via ``exact_mask``. BIG scenes (chunk count
-    # >= EXACT_MASK_MIN_CHUNKS) take the exact (super-chunk-gated) mask at
-    # ANY width: their interval lists grow linearly in chunks and all-miss
-    # tiles sweep the whole list (bob x4 measured mean 199 listed/tile
-    # interval vs 86 super-gated+refined — the visit-bound regime).
+    # tight; callers override via ``exact_mask``. BIG scenes (triangle count
+    # >= EXACT_MASK_MIN_TRIS) take the exact mask at ANY width WITH the
+    # super-chunk gate: measured bob x8 4.6 -> 5.9 Mrays/s (see the
+    # threshold comment above; bob x4 and below keep interval primaries).
+    big = lo.shape[0] * c >= EXACT_MASK_MIN_TRIS
     if exact_mask is None:
-        exact_mask = (ro32.shape[0] <= cfg.exact_mask_rays
-                      or lo.shape[0] >= EXACT_MASK_MIN_CHUNKS)
-    mask_fn = _chunk_mask_exact if exact_mask else _chunk_mask
+        exact_mask = ro32.shape[0] <= cfg.exact_mask_rays or big
+    mask_fn = (functools.partial(_chunk_mask_exact, super_gate=big)
+               if exact_mask else _chunk_mask)
     chunk_list, entry, counts = mask_fn(ro32, rd32, lo, hi, nt)
 
     interpret = jax.default_backend() == "cpu"

@@ -193,3 +193,45 @@ def test_any_hit_chunked_matches_bruteforce():
                                           cfg_c.det_epsilon, cfg_c.smallest_dist)
     occ_b = jnp.any(t_ref < intersect.BIG, axis=1)
     np.testing.assert_array_equal(np.asarray(occ_c), np.asarray(occ_b))
+
+
+def test_effective_chunk_size_caps_chunk_count():
+    """SMEM-safe auto-scaling (round-5): the pallas sweep's prefetched chunk
+    lists overflow SMEM past ~2k chunks, so the chunk size doubles until the
+    count fits accel.MAX_CHUNKS; small scenes keep the requested size."""
+    from realtrace_tpu.core.types import RenderConfig
+    from realtrace_tpu.ops import accel as A
+    from realtrace_tpu.ops.pallas import trace as T
+
+    cfg = RenderConfig(accel="pallas", chunk_size=64)
+    assert A.effective_chunk_size(cfg, 21_376) == 64          # bob x2: as-is
+    assert A.effective_chunk_size(cfg, 42_752) == 128         # bob x4 -> 334
+    cs = A.effective_chunk_size(cfg, 170_000)                 # bob x16 class
+    assert cs == A.MAX_CHUNK_SIZE == 256                      # size cap holds
+    assert (4 * cs) % 128 == 0                                # resident align
+    cfg32 = RenderConfig(accel="pallas", chunk_size=32)
+    assert A.effective_chunk_size(cfg32, 10_688) == 32        # flagship bob
+    # SMEM hard limit overrides the size cap for extreme counts
+    huge = A.MAX_CHUNK_SIZE * A.MAX_CHUNKS + 1
+    assert A.effective_chunk_size(cfg, huge) == 2 * A.MAX_CHUNK_SIZE
+    # end-to-end: with_chunks + build_pack agree on the scaled size and the
+    # sweep still matches brute force
+    scene = random_tri_scene(200, seed=11)
+    saved = A.MAX_CHUNKS
+    try:
+        A.MAX_CHUNKS = 2         # force scaling on a small scene: 200 > 32*2
+        scene = A.with_chunks(scene, RenderConfig(accel="pallas", chunk_size=32))
+        pack = T.build_pack(scene, RenderConfig(accel="pallas", chunk_size=32))
+        assert pack.chunk_size == 128 and pack.lo.shape[0] == 2
+        ro, rd = random_rays(64, seed=3)
+        cfgp = RenderConfig(accel="pallas", chunk_size=32)
+        t_p, idx_p = T.closest_triangle(scene, ro, rd, cfgp)
+    finally:
+        A.MAX_CHUNKS = saved
+    from realtrace_tpu.ops import intersect as I
+    t_b, _, _ = I.triangle_test(ro, rd, scene.tri_vertices,
+                                cfgp.det_epsilon, cfgp.smallest_dist)
+    t_ref = jnp.min(t_b, axis=1)
+    hit = np.asarray(t_ref) < I.BIG
+    np.testing.assert_allclose(np.asarray(t_p)[hit], np.asarray(t_ref)[hit],
+                               rtol=1e-5)

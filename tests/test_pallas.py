@@ -204,14 +204,14 @@ def test_super_gated_exact_mask_exactness():
     pack = trace.build_pack(scene, cfg)
     ro, rd = random_rays(r=2 * trace.LANES, seed=21)
     nt = 2
-    saved = (trace.SUPER_MIN_CHUNKS, trace.SUPER_GROUP)
+    saved = trace.SUPER_GROUP
     try:
-        trace.SUPER_MIN_CHUNKS = 1          # 16 chunks → supers engage
         trace.SUPER_GROUP = 4
         ids, entry, counts = trace._chunk_mask_exact(ro, rd, pack.lo,
-                                                     pack.hi, nt)
+                                                     pack.hi, nt,
+                                                     super_gate=True)
     finally:
-        trace.SUPER_MIN_CHUNKS, trace.SUPER_GROUP = saved
+        trace.SUPER_GROUP = saved
     got = _mask_sets(ids, counts)
     want = _full_slab_reference(ro, rd, pack.lo, pack.hi, nt)
     ids_i, _, counts_i = trace._chunk_mask(ro, rd, pack.lo, pack.hi, nt)
@@ -238,17 +238,14 @@ def test_super_gated_sweep_matches_bruteforce():
     cfg = RenderConfig(accel="pallas", chunk_size=32)
     scene = accel.with_chunks(scene, cfg)
     ro, rd = random_rays(r=2 * trace.LANES, seed=33)
-    saved = (trace.SUPER_MIN_CHUNKS, trace.SUPER_GROUP,
-             trace.EXACT_MASK_MIN_CHUNKS)
+    saved = (trace.SUPER_GROUP, trace.EXACT_MASK_MIN_TRIS)
     try:
-        trace.SUPER_MIN_CHUNKS = 1
         trace.SUPER_GROUP = 4
-        trace.EXACT_MASK_MIN_CHUNKS = 1     # big-scene heuristic ON
+        trace.EXACT_MASK_MIN_TRIS = 1       # big-scene heuristic ON
         cfg_small = dataclasses.replace(cfg, exact_mask_rays=0)  # width says no
         t_p, idx_p = trace.closest_triangle(scene, ro, rd, cfg_small)
     finally:
-        (trace.SUPER_MIN_CHUNKS, trace.SUPER_GROUP,
-         trace.EXACT_MASK_MIN_CHUNKS) = saved
+        trace.SUPER_GROUP, trace.EXACT_MASK_MIN_TRIS = saved
     tv = scene.tri_vertices
     t_b, _, _ = intersect.triangle_test(ro, rd, tv, cfg.det_epsilon,
                                         cfg.smallest_dist)
