@@ -54,11 +54,19 @@ TRANS_GATHER = False
 # is a scatter-add of ~2M 25-column cotangent rows into the (N, k) table per
 # bounce level — XLA's unsorted scatter was the round-4 hit-heavy backward's
 # dominant cost (17.9 + 17.4 + 8.9 ms of the 277.95 ms step, docs/KERNEL.md).
-# "sort": custom VJP — argsort the triangle ids once, row-gather the
-# cotangents into id order (row gathers are near DMA speed), and segment-sum
-# contiguous runs (indices_are_sorted scatter). "scatter": XLA's native dual.
-# Env RT_GATHER_VJP overrides (A/B hook, like RESIDENT_LIMIT forcing).
-GATHER_VJP = os.environ.get("RT_GATHER_VJP", "sort")
+# "scatter" (DEFAULT): XLA's native dual. "sort": custom VJP — argsort the
+# triangle ids, row-gather the cotangents into id order, segment-sum
+# contiguous runs — MEASURED A DECISIVE LOSER on TPU (2026-08-21 A/B,
+# benchmarks/captures/gradab_r5.json: hit-heavy bwd/fwd 4.93x vs 2.57x,
+# headline 1.84x vs 1.60x — the 2M-row argsort + (R,25) cotangent
+# row-gather cost far more than the unsorted scatter they replace); kept
+# only as the A/B hook. "save": scatter dual + the gather output saved as a
+# "sweep"-tagged residual (skips the backward's re-gather) — measured
+# INFEASIBLE at hit-heavy 1080p: the (R,25) residuals push the step past
+# HBM ("Used 17.17G of 15.75G"). Both alternatives to the plain scatter
+# lost; it IS the mathematical dual and runs at ~14 ns/cotangent-row.
+# Env RT_GATHER_VJP overrides.
+GATHER_VJP = os.environ.get("RT_GATHER_VJP", "scatter")
 
 
 @functools.lru_cache(maxsize=None)
@@ -90,6 +98,9 @@ def _gather_rows_sorted(n: int):
 def _table_gather(table: Array, idx: Array) -> Array:
     if GATHER_VJP == "sort":
         return _gather_rows_sorted(table.shape[0])(table, idx)
+    if GATHER_VJP == "save":
+        from jax.ad_checkpoint import checkpoint_name
+        return checkpoint_name(table[idx], "sweep")
     return table[idx]
 
 
