@@ -499,7 +499,11 @@ def _branch_levels_tiles(scene: Scene, cfg: RenderConfig, pack, carry,
     """Dielectric bounce levels 1..max_depth, TILE-granular: the lane-based
     ``_branch_levels`` with tile compaction + tile-granular contribution
     scatters (unsorted + duplicate tile ids — a parent's two child tiles
-    share an output tile — but only ~4k index rows)."""
+    share an output tile — but only ~4k index rows). After level 1 a DEEP
+    re-ladder re-selects the rung from the then-live tile count (only
+    re-hit children survive past level 1 — typically a small fraction of
+    the entry rung) and runs levels 2..max_depth at that width, the same
+    move as the non-branching deep-level compaction."""
     tile = WAVEFRONT_TILE
 
     def step(carry, is_last):
@@ -521,15 +525,71 @@ def _branch_levels_tiles(scene: Scene, cfg: RenderConfig, pack, carry,
         accum = accum.at[tp].add(contrib.reshape(kt, tile, 3), mode="drop")
         return (ro_n, rd_n, coeff_n, tp_n, *qn, accum, nrays, dropped), None
 
-    if cfg.max_depth > 0:
-        xs = jnp.arange(cfg.max_depth) == cfg.max_depth - 1
+    def finish(carry):
+        _, _, coeff_f, tp_f, _, _, _, accum, nrays, dropped = carry
+        # depth-exceeded live children → background
+        kt = tp_f.shape[0]
+        accum = accum.at[tp_f].add(
+            (coeff_f * scene.background[None]).reshape(kt, tile, 3),
+            mode="drop")
+        return accum, nrays, dropped
+
+    if cfg.max_depth == 0:
+        return finish(carry)
+    # level 1 at the entry rung width
+    carry, _ = _level_ckpt(cfg)(step)(carry, jnp.asarray(cfg.max_depth == 1))
+    if cfg.max_depth == 1:
+        return finish(carry)
+    if cfg.branch_buckets <= 1:
+        xs = jnp.arange(1, cfg.max_depth) == cfg.max_depth - 1
         carry, _ = lax.scan(_level_ckpt(cfg)(step), carry, xs)
-    _, _, coeff_f, tp_f, _, _, _, accum, nrays, dropped = carry
-    # depth-exceeded live children → background
-    kt = tp_f.shape[0]
-    accum = accum.at[tp_f].add(
-        (coeff_f * scene.background[None]).reshape(kt, tile, 3), mode="drop")
-    return accum, nrays, dropped
+        return finish(carry)
+
+    # ---- deep re-ladder: levels 2..max_depth at the live-tile rung -------
+    ro_k, rd_k, coeff_k, tp_k, t, fam, idx, accum, nrays, dropped = carry
+    kt = tp_k.shape[0]
+    mass = jnp.sum(lax.stop_gradient(coeff_k), axis=-1).astype(jnp.float32)
+    mass_t = jnp.sum(mass.reshape(kt, tile), axis=1)
+    live = mass_t > 0.0
+    cnt = jnp.sum(live, dtype=jnp.int32)
+    rungs = sorted({-(-kt // 2 ** k) for k in range(cfg.branch_buckets + 1)})
+    xs_deep = jnp.arange(1, cfg.max_depth) == cfg.max_depth - 1
+
+    def rung(kcap: int):
+        gather = kcap < kt
+
+        def f(op):
+            ro_k, rd_k, coeff_k, tp_k, t, fam, idx, accum, nrays, dropped = op
+            if gather:
+                order = jnp.argsort(~live, stable=True).astype(jnp.int32)
+                sel = order[:kcap]
+                tail = order[kcap:]
+                dropped = dropped + jnp.sum(
+                    jnp.where(live[tail], mass_t[tail], 0.0))
+
+                def g3(x):
+                    return x.reshape(kt, tile, 3)[sel].reshape(kcap * tile, 3)
+
+                def g1(x):
+                    return x.reshape(kt, tile)[sel].reshape(kcap * tile)
+
+                ro_k, rd_k, coeff_k = g3(ro_k), g3(rd_k), g3(coeff_k)
+                t, fam, idx = g1(t), g1(fam), g1(idx)
+                # dead-pad tiles: zero coefficients (mask every contribution
+                # and the ray count) + drop-sentinel scatter slots
+                padlive = jnp.repeat(live[sel], tile)
+                coeff_k = jnp.where(padlive[:, None], coeff_k, 0.0)
+                tp_k = jnp.where(live[sel], tp_k[sel], nt)
+            carry2 = (ro_k, rd_k, coeff_k, tp_k, t, fam, idx,
+                      accum, nrays, dropped)
+            carry2, _ = lax.scan(_level_ckpt(cfg)(step), carry2, xs_deep)
+            return finish(carry2)
+        return f
+
+    branches = [_level_ckpt(cfg)(rung(k)) for k in rungs]
+    b = jnp.sum(cnt > jnp.asarray(rungs, jnp.int32))
+    return lax.switch(b, branches, (ro_k, rd_k, coeff_k, tp_k, t, fam, idx,
+                                    accum, nrays, dropped))
 
 
 def _branch_entry(scene: Scene, ro0: Array, rd0: Array, coeff0: Array,
