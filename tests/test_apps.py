@@ -159,6 +159,20 @@ def test_viewer_batched_script_matches_per_frame(tmp_path):
     np.testing.assert_array_equal(a.last_img, b.last_img)
 
 
+def test_viewer_batched_script_stops_on_quit(tmp_path):
+    """A 'q' mid-script must stop COLLECTING (ADVICE r4: rebinding the
+    iterated string was a no-op): keys after the quit apply no orbit motion
+    and contribute no frames, matching run_script's early return."""
+    script_pre = "\x1b[C\x1b[C"                  # 2 yaw steps
+    a = _tiny_viewer(tmp_path)
+    a.run_script_batched(script_pre, batch=2)
+    b = _tiny_viewer(tmp_path)
+    b.run_script_batched(script_pre + "q" + "\x1b[A\x1b[Azz", batch=2)
+    assert b.frames == a.frames == 2             # nothing past the quit
+    assert (a.orbit.yaw, a.orbit.pitch, a.orbit.radius) == \
+        (b.orbit.yaw, b.orbit.pitch, b.orbit.radius)
+
+
 def test_viewer_mouse_drag_orbits(tmp_path):
     v = _tiny_viewer(tmp_path)
     v.render()
